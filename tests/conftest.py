@@ -1,0 +1,49 @@
+"""Test harness config.
+
+Tests run on a virtual 8-device CPU mesh (the TPU-less analog of the
+reference's 2-proc gloo smoke tests, SURVEY.md §4): XLA host-platform device
+count is forced *before* jax initializes.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE, "ultralytics"))
+
+
+@pytest.fixture(scope="session")
+def torch_reference():
+    """Import the PyTorch reference package (CPU), patching the missing
+    torchvision metadata. Used only for numeric parity tests; skipped when the
+    reference tree is absent."""
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    import importlib.metadata as md
+
+    orig = md.version
+
+    def fake_version(name):
+        try:
+            return orig(name)
+        except Exception:
+            return "0.19.0"
+
+    md.version = fake_version
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        import ultralytics  # noqa: F401
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    return ultralytics

@@ -1,0 +1,222 @@
+"""Detection heads (reference: ultralytics/nn/modules/head.py:37-264).
+
+Layout: feature maps NHWC; concatenated predictions are anchors-last
+[B, A, C] (the reference uses [B, C, A]).
+
+The head returns a dict so the training loss, the end2end in-graph top-k
+postprocess, and plain decoded inference all read from one structure:
+  training:  {"one2many": {...}, ("one2one": {...})}
+  inference: decoded [B, A, 4+nc] (plus raw dict for val-mode loss)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.anchors import dfl_decode, dist2bbox, make_anchors
+from .layers import Conv, ConvSeq, DWConv
+from .module import Context, Module, ModuleList, Params
+
+
+class Detect(Module):
+    """YOLO anchor-free detection head with DFL box regression.
+
+    Matches reference head.py:37-264: per-scale box branch (cv2) producing
+    4*reg_max DFL logits and class branch (cv3) producing nc logits; optional
+    dual one2one head (end2end NMS-free mode) fed detached features.
+    """
+
+    def __init__(self, nc: int = 80, reg_max: int = 16, end2end: bool = False, ch: Sequence[int] = (), legacy: bool = False):
+        super().__init__()
+        self.nc = nc
+        self.nl = len(ch)
+        self.reg_max = reg_max
+        self.no = nc + reg_max * 4
+        self.ch = tuple(ch)
+        self.end2end = end2end
+        self.legacy = legacy
+        self.max_det = 300
+        self.agnostic_nms = False
+        self.xyxy = False
+        # strides are filled in by the model builder (stride probe), like the
+        # reference's build-time stride computation.
+        self.strides: Tuple[int, ...] = ()
+
+        c2 = max(16, ch[0] // 4, reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        self.c2, self.c3 = c2, c3
+        self.cv2 = ModuleList([ConvSeq(Conv(x, c2, 3), Conv(c2, c2, 3), _head_out(c2, 4 * reg_max)) for x in ch])
+        if legacy:
+            self.cv3 = ModuleList(
+                [ConvSeq(Conv(x, c3, 3), Conv(c3, c3, 3), _head_out(c3, nc)) for x in ch]
+            )
+        else:
+            self.cv3 = ModuleList(
+                [
+                    ConvSeq(
+                        ConvSeq(DWConv(x, x, 3), Conv(x, c3, 1)),
+                        ConvSeq(DWConv(c3, c3, 3), Conv(c3, c3, 1)),
+                        _head_out(c3, nc),
+                    )
+                    for x in ch
+                ]
+            )
+        if end2end:
+            import copy as _copy
+
+            self.one2one_cv2 = ModuleList([ConvSeq(Conv(x, c2, 3), Conv(c2, c2, 3), _head_out(c2, 4 * reg_max)) for x in ch])
+            self.one2one_cv3 = ModuleList(
+                [
+                    ConvSeq(
+                        ConvSeq(DWConv(x, x, 3), Conv(x, c3, 1)),
+                        ConvSeq(DWConv(c3, c3, 3), Conv(c3, c3, 1)),
+                        _head_out(c3, nc),
+                    )
+                    if not legacy
+                    else ConvSeq(Conv(x, c3, 3), Conv(c3, c3, 3), _head_out(c3, nc))
+                    for x in ch
+                ]
+            )
+
+    def set_strides(self, strides: Sequence[int]):
+        self.strides = tuple(int(s) for s in strides)
+
+    def init(self, key) -> Params:
+        p = super().init(key)
+        return self.bias_init(p)
+
+    def bias_init(self, p: Params) -> Params:
+        """Detection bias init (reference head.py:196-210): box bias 2.0,
+        cls bias log(5/nc/(640/stride)^2). Requires strides to be set."""
+        strides = self.strides or (8, 16, 32)
+        for branch, heads in (("cv2", True), ("cv3", False), ("one2one_cv2", True), ("one2one_cv3", False)):
+            if branch not in p:
+                continue
+            for i, s in enumerate(strides[: self.nl]):
+                leaf = p[branch][str(i)]
+                last = leaf[str(len(leaf) - 1)]
+                if heads:
+                    last["b"] = jnp.full_like(last["b"], 2.0)
+                else:
+                    last["b"] = jnp.full_like(last["b"], math.log(5 / self.nc / (640 / s) ** 2))
+        return p
+
+    # ------------------------------------------------------------------
+    def _forward_branch(self, p: Params, feats: List[jnp.ndarray], cv2_name: str, cv3_name: str, ctx: Context):
+        """Run box+cls branches over all levels; returns concat [B, A, *]."""
+        boxes, scores = [], []
+        cv2 = getattr(self, cv2_name)
+        cv3 = getattr(self, cv3_name)
+        for i in range(self.nl):
+            b = feats[i].shape[0]
+            bx = cv2[i](p[cv2_name][str(i)], feats[i], ctx).reshape(b, -1, 4 * self.reg_max)
+            sc = cv3[i](p[cv3_name][str(i)], feats[i], ctx).reshape(b, -1, self.nc)
+            boxes.append(bx)
+            scores.append(sc)
+        return jnp.concatenate(boxes, 1), jnp.concatenate(scores, 1)
+
+    def __call__(self, p: Params, feats: List[jnp.ndarray], ctx: Context):
+        """Returns the full prediction dict; decode separately via ``decode``."""
+        out = {}
+        boxes, scores = self._forward_branch(p, feats, "cv2", "cv3", ctx)
+        out["one2many"] = {"boxes": boxes, "scores": scores}
+        if self.end2end:
+            detached = [jax.lax.stop_gradient(f) for f in feats]
+            b2, s2 = self._forward_branch(p, detached, "one2one_cv2", "one2one_cv3", ctx)
+            out["one2one"] = {"boxes": b2, "scores": s2}
+        out["hw_shapes"] = tuple((f.shape[1], f.shape[2]) for f in feats)
+        return out
+
+    def decode(self, preds: dict, hw_shapes=None) -> jnp.ndarray:
+        """DFL decode + anchor offset + stride scale + sigmoid scores.
+
+        Returns [B, A, 4+nc]; boxes xywh (or xyxy·if end2end/xyxy) in input pixels.
+        Reference: Detect._inference (head.py:176-194).
+        """
+        branch = preds["one2one"] if self.end2end else preds["one2many"]
+        hw_shapes = hw_shapes or preds["hw_shapes"]
+        anchors, strides = make_anchors(hw_shapes, self.strides)
+        dist = dfl_decode(branch["boxes"], self.reg_max)  # [B, A, 4]
+        xywh = not self.end2end and not self.xyxy
+        dbox = dist2bbox(dist, anchors[None], xywh=xywh) * strides[None]
+        return jnp.concatenate([dbox, jax.nn.sigmoid(branch["scores"].astype(jnp.float32)).astype(dbox.dtype)], -1)
+
+    def postprocess_end2end(self, decoded: jnp.ndarray, max_det: int = 300) -> jnp.ndarray:
+        """In-graph top-k for NMS-free end2end mode (reference head.py:216-262).
+
+        decoded: [B, A, 4+nc] with xyxy boxes. Returns [B, max_det, 6].
+        """
+        boxes, scores = decoded[..., :4], decoded[..., 4:]
+        b, a, nc = scores.shape
+        k = min(max_det, a)
+        anchor_best = jnp.max(scores, -1)
+        top_scores, top_idx = jax.lax.top_k(anchor_best, k)  # [B, k]
+        sel_scores = jnp.take_along_axis(scores, top_idx[..., None], 1)  # [B,k,nc]
+        flat = sel_scores.reshape(b, -1)
+        final_scores, flat_idx = jax.lax.top_k(flat, k)
+        anchor_sel = jnp.take_along_axis(top_idx, flat_idx // nc, 1)
+        cls = (flat_idx % nc).astype(decoded.dtype)
+        sel_boxes = jnp.take_along_axis(boxes, anchor_sel[..., None], 1)
+        return jnp.concatenate([sel_boxes, final_scores[..., None], cls[..., None]], -1)
+
+
+class _HeadOut(Module):
+    """Final 1x1 conv with bias (plain nn.Conv2d in the reference head)."""
+
+    def __init__(self, c1: int, c2: int, k: int = 1):
+        super().__init__()
+        self.c1, self.c2, self.k = c1, c2, k
+
+    def init(self, key) -> Params:
+        from .module import conv_bias_uniform, kaiming_uniform_conv
+
+        k1, k2 = jax.random.split(key)
+        fan_in = self.k * self.k * self.c1
+        return {
+            "w": kaiming_uniform_conv(k1, (self.k, self.k, self.c1, self.c2)),
+            "b": conv_bias_uniform(k2, fan_in, self.c2),
+        }
+
+    def __call__(self, p: Params, x, ctx: Context):
+        from .layers import conv2d
+
+        return conv2d(x, p["w"], padding=self.k // 2) + p["b"].astype(x.dtype)
+
+
+def _head_out(c1, c2):
+    return _HeadOut(c1, c2)
+
+
+class Classify(Module):
+    """Classification head (reference head.py:783+): Conv -> GAP -> dropout -> linear."""
+
+    def __init__(self, c1: int, c2: int, k=1, s=1, p=None, g=1):
+        super().__init__()
+        c_ = 1280
+        self.conv = Conv(c1, c_, k, s, p, g)
+        self.c_, self.c2 = c_, c2
+
+    def init(self, key) -> Params:
+        from .module import conv_bias_uniform
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        bound = 1.0 / math.sqrt(self.c_)
+        return {
+            "conv": self.conv.init(k1),
+            "linear": {
+                "w": jax.random.uniform(k2, (self.c_, self.c2), jnp.float32, -bound, bound),
+                "b": conv_bias_uniform(k3, self.c_, self.c2),
+            },
+        }
+
+    def __call__(self, p: Params, x, ctx: Context):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(x, -1)
+        y = self.conv(p["conv"], x, ctx)
+        y = jnp.mean(y, axis=(1, 2))
+        logits = y @ p["linear"]["w"].astype(y.dtype) + p["linear"]["b"].astype(y.dtype)
+        return logits if ctx.training else jax.nn.softmax(logits, -1)

@@ -1,0 +1,552 @@
+"""Core NN blocks of the YOLO-Master backbone/neck, rebuilt TPU-native (NHWC).
+
+Behavioral parity targets (reference file:line, semantics only — no code copied):
+  * Conv (conv+BN+SiLU)            ultralytics/nn/modules/conv.py:39-90
+  * DWConv                         ultralytics/nn/modules/conv.py:185
+  * Bottleneck                     ultralytics/nn/modules/block.py:462-487
+  * C2f / C3 / C3k / C3k2          ultralytics/nn/modules/block.py:293,327,1074,1114
+  * SPPF                           ultralytics/nn/modules/block.py:213-243
+  * AAttn / ABlock / A2C2f         ultralytics/nn/modules/block.py:1646-1893
+  * Attention / PSABlock           ultralytics/nn/modules/block.py (PSA family)
+  * Concat                         ultralytics/nn/modules/conv.py:616
+  * DFL integral decode            ultralytics/nn/modules/block.py:63-85
+
+Layout: activations are NHWC (TPU-native); conv kernels are HWIO. The torch
+reference is NCHW/OIHW — the checkpoint importer transposes (utils/torch_import).
+
+BatchNorm: Ultralytics re-initializes every BN to eps=1e-3, momentum=0.03
+(ultralytics/utils/torch_utils.py initialize_weights); we adopt those defaults.
+Per-device (non-synced) batch stats match the reference's per-rank BN choice
+(SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .module import (
+    Context,
+    Module,
+    ModuleList,
+    Params,
+    conv_bias_uniform,
+    kaiming_uniform_conv,
+    trunc_normal,
+)
+
+# ---------------------------------------------------------------------------
+# Functional primitives
+# ---------------------------------------------------------------------------
+
+def autopad(k, p=None, d: int = 1):
+    """'same' padding for odd kernels (reference conv.py:30-36). k may be int or tuple."""
+    if isinstance(k, (tuple, list)):
+        return tuple(autopad(kk, p, d) for kk in k)
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+def conv2d(x, w, *, stride=1, padding=0, groups=1, dilation=1):
+    """NHWC conv with HWIO kernel."""
+    s = (stride, stride) if isinstance(stride, int) else stride
+    d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = [(p, p) for p in padding]
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=s,
+        padding=pad,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def max_pool(x, k: int, stride: int = 1, padding: Optional[int] = None):
+    p = k // 2 if padding is None else padding
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+
+
+def upsample_nearest(x, scale: int = 2):
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, scale, W, scale, C))
+    return x.reshape(B, H * scale, W * scale, C)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm
+# ---------------------------------------------------------------------------
+
+class BatchNorm(Module):
+    """BatchNorm2d over NHWC channel axis with functional running stats.
+
+    Training uses batch statistics and emits running-stat updates into
+    ``ctx.updates[self.path]`` (the functional analog of torch's in-place
+    buffer writes). Eval uses the stored running stats.
+    """
+
+    def __init__(self, c: int, eps: float = 1e-3, momentum: float = 0.03):
+        super().__init__()
+        self.c, self.eps, self.momentum = c, eps, momentum
+
+    def init(self, key) -> Params:
+        return {
+            "scale": jnp.ones((self.c,), jnp.float32),
+            "bias": jnp.zeros((self.c,), jnp.float32),
+            "mean": jnp.zeros((self.c,), jnp.float32),
+            "var": jnp.ones((self.c,), jnp.float32),
+        }
+
+    def __call__(self, p: Params, x, ctx: Context):
+        if ctx.training:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.var(xf, axes)
+            n = math.prod(x.shape[:-1])
+            # torch tracks *unbiased* variance in running stats
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ctx.updates[self.path] = {
+                "mean": (1 - m) * p["mean"] + m * lax.stop_gradient(mean),
+                "var": (1 - m) * p["var"] + m * lax.stop_gradient(unbiased),
+            }
+        else:
+            mean, var = p["mean"], p["var"]
+        inv = lax.rsqrt(var + self.eps) * p["scale"]
+        return ((x.astype(jnp.float32) - mean) * inv + p["bias"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conv = conv + BN + act  (the workhorse)
+# ---------------------------------------------------------------------------
+
+class Conv(Module):
+    """conv2d (no bias) + BatchNorm + SiLU (reference conv.py:39-90).
+
+    ``fuse_bn`` surgery (deploy path) folds BN into a conv bias at export time;
+    at runtime the fused form is detected by the presence of params["b"].
+    """
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, act: bool = True):
+        super().__init__()
+        if isinstance(k, (tuple, list)):
+            self.kh, self.kw = k
+        else:
+            self.kh = self.kw = k
+        self.c1, self.c2, self.s, self.g, self.d = c1, c2, s, g, d
+        pp = autopad(k, p, d)
+        self.p = pp if isinstance(pp, tuple) else (pp, pp)
+        self.act = act
+        self.bn = BatchNorm(c2)
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        w = kaiming_uniform_conv(kw, (self.kh, self.kw, self.c1 // self.g, self.c2))
+        return {"conv": {"w": w}, "bn": self.bn.init(kb)}
+
+    def __call__(self, p: Params, x, ctx: Context):
+        y = conv2d(x, p["conv"]["w"], stride=self.s, padding=self.p, groups=self.g, dilation=self.d)
+        if "b" in p["conv"]:  # fused form (BN folded)
+            y = y + p["conv"]["b"].astype(y.dtype)
+        elif "bn" in p:
+            y = self.bn(p["bn"], y, ctx)
+        return silu(y) if self.act else y
+
+
+class DWConv(Conv):
+    """Depthwise conv: groups = gcd(c1, c2) (reference conv.py:185)."""
+
+    def __init__(self, c1, c2, k=1, s=1, d=1, act=True):
+        super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), d=d, act=act)
+
+
+class ConvSeq(Module):
+    """Sequential of modules; params keyed "0","1",... exactly like torch
+    nn.Sequential state_dict naming (keeps checkpoint import mechanical)."""
+
+    def __init__(self, *mods: Module):
+        super().__init__()
+        object.__setattr__(self, "mods", list(mods))
+        for i, m in enumerate(mods):
+            self._children[str(i)] = m
+
+    def __len__(self):
+        return len(self.mods)
+
+    def __getitem__(self, i):
+        return self.mods[i]
+
+    def __call__(self, p: Params, x, ctx: Context):
+        for i, m in enumerate(self.mods):
+            x = m(p[str(i)], x, ctx)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# CSP family
+# ---------------------------------------------------------------------------
+
+class Bottleneck(Module):
+    """Standard bottleneck (reference block.py:462-487)."""
+
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, k[0], 1)
+        self.cv2 = Conv(c_, c2, k[1], 1, g=g)
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, p, x, ctx):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx), ctx)
+        return x + y if self.add else y
+
+
+class C3(Module):
+    """CSP bottleneck, 3 convs (reference block.py:327-351)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, bottleneck_k=((1, 1), (3, 3))):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c1, c_, 1, 1)
+        self.cv3 = Conv(2 * c_, c2, 1)
+        self.m = ModuleList([Bottleneck(c_, c_, shortcut, g, k=bottleneck_k, e=1.0) for _ in range(n)])
+
+    def __call__(self, p, x, ctx):
+        a = self.cv1(p["cv1"], x, ctx)
+        for i, m in enumerate(self.m):
+            a = m(p["m"][str(i)], a, ctx)
+        b = self.cv2(p["cv2"], x, ctx)
+        return self.cv3(p["cv3"], jnp.concatenate([a, b], -1), ctx)
+
+
+class C3k(C3):
+    """C3 with custom square bottleneck kernel (reference block.py:1114-1133)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3):
+        super().__init__(c1, c2, n, shortcut, g, e, bottleneck_k=((k, k), (k, k)))
+
+
+class C2f(Module):
+    """Fast CSP bottleneck with 2 convs (reference block.py:293-318)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=False, g=1, e=0.5):
+        super().__init__()
+        self.c = int(c2 * e)
+        self.n = n
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv((2 + n) * self.c, c2, 1)
+        self.m = ModuleList([Bottleneck(self.c, self.c, shortcut, g, k=((3, 3), (3, 3)), e=1.0) for _ in range(n)])
+
+    def __call__(self, p, x, ctx):
+        y = self.cv1(p["cv1"], x, ctx)
+        ys = [y[..., : self.c], y[..., self.c :]]
+        for i, m in enumerate(self.m):
+            ys.append(m(p["m"][str(i)], ys[-1], ctx))
+        return self.cv2(p["cv2"], jnp.concatenate(ys, -1), ctx)
+
+
+class C3k2(C2f):
+    """C2f whose inner blocks are C3k (or Bottleneck) (reference block.py:1074-1111)."""
+
+    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, g=1, shortcut=True):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        self.m = ModuleList(
+            [
+                C3k(self.c, self.c, 2, shortcut, g) if c3k else Bottleneck(self.c, self.c, shortcut, g)
+                for _ in range(n)
+            ]
+        )
+
+
+class SPPF(Module):
+    """Spatial pyramid pooling, fast (reference block.py:213-243)."""
+
+    def __init__(self, c1, c2, k=5, n=3, shortcut=False):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = Conv(c1, c_, 1, 1, act=False)
+        self.cv2 = Conv(c_ * (n + 1), c2, 1, 1)
+        self.k, self.n = k, n
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, p, x, ctx):
+        y = [self.cv1(p["cv1"], x, ctx)]
+        for _ in range(self.n):
+            y.append(max_pool(y[-1], self.k, 1))
+        out = self.cv2(p["cv2"], jnp.concatenate(y, -1), ctx)
+        return out + x if self.add else out
+
+
+# ---------------------------------------------------------------------------
+# Area attention (A2C2f family, the yolo-master transformer block)
+# ---------------------------------------------------------------------------
+
+class AAttn(Module):
+    """Area-attention (reference block.py:1646-1733).
+
+    Softmax attention over tokens of ``area``-partitioned feature map rows,
+    with a 7x7 depthwise positional-encoding conv on V. Padding-free: H*W must
+    be divisible by ``area`` (true for stride-32 features of 640 inputs).
+    """
+
+    def __init__(self, dim: int, num_heads: int, area: int = 1):
+        super().__init__()
+        self.area = area
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        ahd = self.head_dim * num_heads
+        self.all_head_dim = ahd
+        self.qkv = Conv(dim, ahd * 3, 1, act=False)
+        self.proj = Conv(ahd, dim, 1, act=False)
+        self.pe = Conv(ahd, ahd, 7, 1, 3, g=ahd, act=False)
+
+    def __call__(self, p, x, ctx):
+        B, H, W, _ = x.shape
+        N = H * W
+        hd, nh, ahd = self.head_dim, self.num_heads, self.all_head_dim
+        qkv = self.qkv(p["qkv"], x, ctx).reshape(B, N, 3 * ahd)
+        if self.area > 1:
+            qkv = qkv.reshape(B * self.area, N // self.area, 3 * ahd)
+        Bq, Nq = qkv.shape[0], qkv.shape[1]
+        # torch: view(B,N,heads,head_dim*3) then split -> per-head q,k,v blocks
+        qkv = qkv.reshape(Bq, Nq, nh, 3, hd)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B,N,h,hd]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd**-0.5), k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        o = o.reshape(Bq, Nq, ahd)
+        v = v.reshape(Bq, Nq, ahd)
+        if self.area > 1:
+            o = o.reshape(B, N, ahd)
+            v = v.reshape(B, N, ahd)
+        o = o.reshape(B, H, W, ahd)
+        v = v.reshape(B, H, W, ahd)
+        o = o + self.pe(p["pe"], v, ctx)
+        return self.proj(p["proj"], o, ctx)
+
+
+class MLPBlock(ConvSeq):
+    """1x1 conv MLP used inside ABlock: Conv(act) -> Conv(no act)."""
+
+    def __init__(self, dim, hidden):
+        super().__init__(Conv(dim, hidden, 1), Conv(hidden, dim, 1, act=False))
+
+
+class ABlock(Module):
+    """Area-attention block: x + attn(x); x + mlp(x) (reference block.py:1735-1798)."""
+
+    def __init__(self, dim, num_heads, mlp_ratio=1.2, area=1):
+        super().__init__()
+        self.attn = AAttn(dim, num_heads=num_heads, area=area)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = MLPBlock(dim, hidden)
+
+    def init(self, key) -> Params:
+        p = super().init(key)
+        # reference re-inits all convs in the block with trunc_normal(0.02)
+        p = _trunc_normal_convs(p, key)
+        return p
+
+    def __call__(self, p, x, ctx):
+        x = x + self.attn(p["attn"], x, ctx)
+        return x + self.mlp(p["mlp"], x, ctx)
+
+
+def _trunc_normal_convs(p, key):
+    leaves_paths = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            leaves_paths.append(path)
+
+    walk(p, ())
+    keys = jax.random.split(key, max(len(leaves_paths), 1))
+    out = jax.tree_util.tree_map(lambda x: x, p)
+
+    def set_in(node, path, val):
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = val
+
+    for path, k in zip(leaves_paths, keys):
+        if path[-1] == "w":
+            node = out
+            for kk in path[:-1]:
+                node = node[kk]
+            node["w"] = trunc_normal(k, node["w"].shape, 0.02)
+    return out
+
+
+class A2C2f(Module):
+    """Area-attention C2f (reference block.py:1800-1893)."""
+
+    def __init__(self, c1, c2, n=1, a2=True, area=1, residual=False, mlp_ratio=2.0, e=0.5, g=1, shortcut=True):
+        super().__init__()
+        c_ = int(c2 * e)
+        assert c_ % 32 == 0, "A2C2f hidden dim must be a multiple of 32"
+        self.c2 = c2
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv((1 + n) * c_, c2, 1)
+        self.residual = a2 and residual
+        self.m = ModuleList(
+            [
+                ConvSeq(*[ABlock(c_, c_ // 32, mlp_ratio, area) for _ in range(2)])
+                if a2
+                else C3k(c_, c_, 2, shortcut, g)
+                for _ in range(n)
+            ]
+        )
+
+    def init(self, key) -> Params:
+        p = super().init(key)
+        if self.residual:
+            p["gamma"] = 0.01 * jnp.ones((self.c2,), jnp.float32)
+        return p
+
+    def __call__(self, p, x, ctx):
+        ys = [self.cv1(p["cv1"], x, ctx)]
+        for i, m in enumerate(self.m):
+            ys.append(m(p["m"][str(i)], ys[-1], ctx))
+        y = self.cv2(p["cv2"], jnp.concatenate(ys, -1), ctx)
+        if self.residual:
+            return x + p["gamma"].astype(y.dtype) * y
+        return y
+
+
+# ---------------------------------------------------------------------------
+# PSA attention family (used by C2PSA configs and C3k2 attn variants)
+# ---------------------------------------------------------------------------
+
+class Attention(Module):
+    """Multi-head attention on 2D maps with extra 3x3 dw positional conv
+    (reference block.py PSA Attention)."""
+
+    def __init__(self, dim, num_heads=8, attn_ratio=0.5):
+        super().__init__()
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.key_dim = int(self.head_dim * attn_ratio)
+        self.scale = self.key_dim**-0.5
+        nh_kd = self.key_dim * num_heads
+        h = dim + nh_kd * 2
+        self.h = h
+        self.dim = dim
+        self.qkv = Conv(dim, h, 1, act=False)
+        self.proj = Conv(dim, dim, 1, act=False)
+        self.pe = Conv(dim, dim, 3, 1, g=dim, act=False)
+
+    def __call__(self, p, x, ctx):
+        B, H, W, C = x.shape
+        N = H * W
+        qkv = self.qkv(p["qkv"], x, ctx).reshape(B, N, self.num_heads, self.key_dim * 2 + self.head_dim)
+        q, k, v = jnp.split(qkv, [self.key_dim, 2 * self.key_dim], axis=-1)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * self.scale, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H, W, C)
+        vmap = v.reshape(B, H, W, C)
+        o = o + self.pe(p["pe"], vmap, ctx)
+        return self.proj(p["proj"], o, ctx)
+
+
+class PSABlock(Module):
+    """Attention + 2-conv FFN with residuals (reference block.py PSABlock)."""
+
+    def __init__(self, c, attn_ratio=0.5, num_heads=4, shortcut=True):
+        super().__init__()
+        self.attn = Attention(c, num_heads=num_heads, attn_ratio=attn_ratio)
+        self.ffn = ConvSeq(Conv(c, c * 2, 1), Conv(c * 2, c, 1, act=False))
+        self.add = shortcut
+
+    def __call__(self, p, x, ctx):
+        y = self.attn(p["attn"], x, ctx)
+        x = x + y if self.add else y
+        y = self.ffn(p["ffn"], x, ctx)
+        return x + y if self.add else y
+
+
+class C2PSA(Module):
+    """CSP wrapper around PSABlocks (reference block.py:1441+)."""
+
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        assert c1 == c2
+        self.c = int(c1 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv(2 * self.c, c1, 1)
+        self.m = ModuleList([PSABlock(self.c, 0.5, self.c // 64 if self.c >= 64 else 1) for _ in range(n)])
+
+    def __call__(self, p, x, ctx):
+        y = self.cv1(p["cv1"], x, ctx)
+        a, b = y[..., : self.c], y[..., self.c :]
+        for i, m in enumerate(self.m):
+            b = m(p["m"][str(i)], b, ctx)
+        return self.cv2(p["cv2"], jnp.concatenate([a, b], -1), ctx)
+
+
+# ---------------------------------------------------------------------------
+# Graph plumbing modules
+# ---------------------------------------------------------------------------
+
+class Concat(Module):
+    """Concat along channels (reference conv.py:616). Input: list of NHWC."""
+
+    def __init__(self, dim=1):
+        super().__init__()
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, p, xs, ctx):
+        return jnp.concatenate(xs, -1)
+
+
+class Upsample(Module):
+    """nn.Upsample(None, 2, 'nearest') analog."""
+
+    def __init__(self, size=None, scale=2, mode="nearest"):
+        super().__init__()
+        assert mode == "nearest"
+        self.scale = int(scale)
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, p, x, ctx):
+        return upsample_nearest(x, self.scale)
+
+
+class MaxPool(Module):
+    def __init__(self, k=2, s=2):
+        super().__init__()
+        self.k, self.s = k, s
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, p, x, ctx):
+        return max_pool(x, self.k, self.s, padding=0)

@@ -1,0 +1,276 @@
+"""Model assembly: YAML graph -> module list -> task models.
+
+Reference: ultralytics/nn/tasks.py parse_model (:1953-2172) and
+DetectionModel/BaseModel (:122,500). Same graph semantics — rows of
+``[from, repeats, module, args]``, compound depth/width/max-channel scaling,
+a save-list of intermediate features consumed by Concat/Detect — rebuilt over
+the functional Module framework (NHWC, explicit params pytree).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import non_max_suppression
+from ..utils import LOGGER, find_model_yaml, guess_scale, make_divisible, yaml_load
+from .heads import Classify, Detect
+from .layers import (
+    A2C2f,
+    Bottleneck,
+    C2PSA,
+    C2f,
+    C3,
+    C3k,
+    C3k2,
+    Concat,
+    Conv,
+    DWConv,
+    MaxPool,
+    SPPF,
+    Upsample,
+)
+from .module import Context, Module, ModuleList, Params, apply_updates
+from .moe import ES_MOE
+
+# Name -> class registry; the analog of parse_model's base set + the mixture
+# registry (reference nn/mixture_registry.py:40-64). "nn.Upsample" kept as an
+# alias so reference YAMLs load unchanged.
+MODULE_REGISTRY: Dict[str, type] = {
+    "Conv": Conv,
+    "DWConv": DWConv,
+    "Bottleneck": Bottleneck,
+    "C2f": C2f,
+    "C3": C3,
+    "C3k": C3k,
+    "C3k2": C3k2,
+    "SPPF": SPPF,
+    "C2PSA": C2PSA,
+    "A2C2f": A2C2f,
+    "Concat": Concat,
+    "Upsample": Upsample,
+    "nn.Upsample": Upsample,
+    "MaxPool": MaxPool,
+    "Detect": Detect,
+    "Classify": Classify,
+    "ES_MOE": ES_MOE,
+}
+
+REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f}
+BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify}
+MIXTURE_MODULES = {ES_MOE}
+HEAD_MODULES = {Detect}
+
+
+class LayerSpec:
+    """One graph node: module instance + wiring metadata."""
+
+    def __init__(self, i: int, f, module: Module, type_name: str):
+        self.i = i
+        self.f = f  # int or list of ints ("from")
+        self.module = module
+        self.type_name = type_name
+
+
+def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bool = False):
+    """Compile a model dict into (layers, save_list).
+
+    Mirrors reference nn/tasks.py:1953-2172 scaling rules.
+    """
+    nc = cfg.get("nc", 80)
+    scales = cfg.get("scales")
+    reg_max = cfg.get("reg_max", 16)
+    end2end = bool(cfg.get("end2end", False))
+    depth, width, max_channels = cfg.get("depth_multiple", 1.0), cfg.get("width_multiple", 1.0), float("inf")
+    if scales:
+        if not scale:
+            scale = next(iter(scales))
+            LOGGER.warning(f"no model scale passed, assuming scale='{scale}'")
+        depth, width, max_channels = scales[scale]
+
+    legacy = True
+    channels = [ch]
+    layers: List[LayerSpec] = []
+    save: List[int] = []
+    for i, (f, n, mname, args) in enumerate(list(cfg["backbone"]) + list(cfg["head"])):
+        if mname not in MODULE_REGISTRY:
+            raise KeyError(f"unknown module '{mname}' in model yaml")
+        m = MODULE_REGISTRY[mname]
+        args = [nc if a == "nc" else a for a in args]
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        if m in BASE_MODULES:
+            c1, c2 = channels[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if m in REPEAT_MODULES:
+                args.insert(2, n)
+                n = 1
+            if m is C3k2:
+                legacy = False
+                if scale in "mlx":
+                    args[3] = True
+            if m is A2C2f:
+                legacy = False
+                if scale in "lx":
+                    args.extend((True, 1.2))
+        elif m in MIXTURE_MODULES:
+            c1, c2 = channels[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+        elif m is Concat:
+            c2 = sum(channels[x] for x in f)
+            args = []
+        elif m in HEAD_MODULES:
+            ch_list = [channels[x] for x in f]
+            args = [args[0], reg_max, end2end, ch_list]
+            kwargs = {"legacy": legacy}
+            c2 = None
+        elif m is Upsample:
+            c2 = channels[f]
+            args = [None, args[1] if len(args) > 1 else 2]
+        else:
+            c2 = channels[f]
+
+        if m in HEAD_MODULES:
+            mod = m(*args, **kwargs)
+        elif n > 1:
+            from .layers import ConvSeq
+
+            mod = ConvSeq(*[m(*args) for _ in range(n)])
+        else:
+            mod = m(*args)
+        spec = LayerSpec(i, f, mod, mname)
+        layers.append(spec)
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            channels = []
+        channels.append(c2)
+        if verbose:
+            LOGGER.info(f"{i:>3} {str(f):>12} {n:>3} {mname:<12} {args}")
+    return layers, sorted(set(save))
+
+
+class BaseModel(Module):
+    """Graph walker over parsed layers (reference nn/tasks.py BaseModel:122)."""
+
+    def __init__(self, cfg, ch: int = 3, nc: Optional[int] = None, scale: Optional[str] = None, verbose: bool = False):
+        super().__init__()
+        if isinstance(cfg, (str,)) or hasattr(cfg, "exists"):
+            self.yaml_file = find_model_yaml(cfg)
+            scale = scale or guess_scale(cfg)
+            cfg = yaml_load(self.yaml_file)
+        self.cfg = dict(cfg)
+        self.scale = scale
+        if nc and nc != self.cfg.get("nc"):
+            self.cfg["nc"] = nc
+        self.nc = self.cfg.get("nc", 80)
+        specs, self.save = parse_model(self.cfg, ch, scale=scale, verbose=verbose)
+        self.specs = specs
+        self.layers = ModuleList([s.module for s in specs])
+        self._post_build()
+        self.finalize()
+
+    def _post_build(self):
+        pass
+
+    # -- forward -------------------------------------------------------------
+    def forward_features(self, p: Params, x: jnp.ndarray, ctx: Context):
+        """Walk the layer graph with the feature save-list.
+
+        Returns the output of the last layer (a Detect dict for detection
+        models) — reference BaseModel._predict_once.
+        """
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        lp = p["layers"]
+        for spec in self.specs:
+            f = spec.f
+            if f != -1:
+                if isinstance(f, int):
+                    inp = y if f == -1 else saved[f]
+                else:
+                    inp = [y if j == -1 else saved[j] for j in f]
+            else:
+                inp = y
+            y = spec.module(lp[str(spec.i)], inp, ctx)
+            if spec.i in self.save:
+                saved[spec.i] = y
+        return y
+
+    def init_params(self, seed: int = 0) -> Params:
+        return self.init(jax.random.PRNGKey(seed))
+
+    def num_params(self, p: Params) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(p))
+
+
+class DetectionModel(BaseModel):
+    """Detection task model (reference nn/tasks.py:500)."""
+
+    task = "detect"
+
+    def _post_build(self):
+        head = self.specs[-1].module
+        assert isinstance(head, Detect), "detection model must end with Detect"
+        # plain reference, not a registered child (params live under layers.N)
+        object.__setattr__(self, "head", head)
+        # Stride probe: run shape inference on the graph (channels known; only
+        # spatial scale matters). We derive strides from conv stride products
+        # along the path to each Detect input — static, no forward needed.
+        self.head_strides = self._infer_strides()
+        head.set_strides(self.head_strides)
+        self.stride = max(self.head_strides)
+
+    def _infer_strides(self) -> Tuple[int, ...]:
+        """Propagate cumulative stride through the graph."""
+        strides: Dict[int, int] = {}
+        cur = 1
+        for spec in self.specs:
+            f = spec.f
+            if isinstance(spec.module, Detect):
+                return tuple(strides[j] for j in f)
+            src = cur if f == -1 else (strides[f] if isinstance(f, int) else None)
+            if isinstance(f, list):
+                src = max(strides[j] if j != -1 else cur for j in f)
+            m = spec.module
+            s = src
+            if isinstance(m, (Conv, DWConv)) and not isinstance(m, Upsample):
+                s = src * m.s
+            elif isinstance(m, Upsample):
+                s = src // m.scale
+            elif isinstance(m, MaxPool):
+                s = src * m.s
+            elif hasattr(m, "seq"):  # ConvSeq of repeated convs
+                for sub in m.seq:
+                    if isinstance(sub, Conv):
+                        s = s * sub.s
+            strides[spec.i] = s
+            cur = s
+        raise RuntimeError("no Detect head found")
+
+    # -- public entry points ---------------------------------------------------
+    def forward_train(self, p: Params, x: jnp.ndarray, ctx: Context) -> dict:
+        """Raw prediction dict for loss computation."""
+        return self.forward_features(p, x, ctx)
+
+    def forward_predict(self, p: Params, x: jnp.ndarray, ctx: Optional[Context] = None) -> jnp.ndarray:
+        """Decoded [B, A, 4+nc] predictions (pre-NMS)."""
+        ctx = ctx or Context(training=False)
+        preds = self.forward_features(p, x, ctx)
+        return self.head.decode(preds)
+
+
+class ClassificationModel(BaseModel):
+    """Classification task model (reference nn/tasks.py:842)."""
+
+    task = "classify"
+
+    def forward_predict(self, p: Params, x: jnp.ndarray, ctx: Optional[Context] = None) -> jnp.ndarray:
+        ctx = ctx or Context(training=False)
+        return self.forward_features(p, x, ctx)

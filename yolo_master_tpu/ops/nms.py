@@ -1,0 +1,156 @@
+"""TPU-native NMS: fixed-shape, batched, fully on-device.
+
+Reference semantics: ultralytics/utils/nms.py:13-171 (greedy torchvision-style
+NMS with the class-offset trick, conf prefilter, max_nms cap, max_det limit).
+
+TPU-first recast (SURVEY.md §7.4): instead of dynamic boolean filtering and a
+sequential greedy loop over a dynamic candidate set, we
+  1. select the top ``max_nms`` candidates by score with ``lax.top_k``
+     (score 0 / invalid for entries below ``conf_thres``) — static shape;
+  2. run *exact greedy* NMS as a ``max_det``-step ``lax.scan``: each step picks
+     the highest-scored unsuppressed candidate and suppresses everything with
+     IoU > threshold against it. This needs no N×N IoU matrix (O(max_det · N)
+     work, vectorized on the VPU) and reproduces torchvision's greedy keep set
+     exactly for the first ``max_det`` keeps.
+Outputs are fixed-shape [B, max_det, 6] plus a validity mask, so the whole
+predict path stays inside one jitted graph.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import xywh2xyxy
+
+MAX_WH = 7680.0  # class-offset magnitude (reference nms.py max_wh)
+
+
+def _greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int):
+    """Exact greedy NMS over [N] candidates.
+
+    Args:
+        boxes: [N, 4] xyxy (already class-offset if class-aware).
+        scores: [N] scores; invalid candidates must be <= 0.
+        max_det: number of sequential keep steps.
+
+    Returns:
+        keep_idx [max_det] int32 indices into N, keep_valid [max_det] bool.
+    """
+    n = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+
+    def step(alive_scores, _):
+        idx = jnp.argmax(alive_scores)
+        best = alive_scores[idx]
+        valid = best > 0.0
+        bx1, by1, bx2, by2 = x1[idx], y1[idx], x2[idx], y2[idx]
+        iw = jnp.clip(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0, None)
+        ih = jnp.clip(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0, None)
+        inter = iw * ih
+        iou = inter / (areas + areas[idx] - inter + 1e-7)
+        suppress = (iou > iou_thres) | (jnp.arange(n) == idx)
+        alive_scores = jnp.where(valid & suppress, 0.0, alive_scores)
+        return alive_scores, (idx.astype(jnp.int32), valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(step, scores, None, length=max_det)
+    return keep_idx, keep_valid
+
+
+def _single_image_nms(
+    pred: jnp.ndarray,
+    nc: int,
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    max_nms: int,
+    agnostic: bool,
+    multi_label: bool,
+    class_mask: Optional[jnp.ndarray],
+):
+    """pred: [A, 4+nc+extra] with xywh boxes; returns fixed-shape detections."""
+    a = pred.shape[0]
+    extra = pred.shape[1] - 4 - nc
+    boxes = xywh2xyxy(pred[:, :4])
+    cls_scores = pred[:, 4 : 4 + nc]
+    if class_mask is not None:
+        cls_scores = cls_scores * class_mask[None, :]
+
+    if multi_label and nc > 1:
+        # candidates = all (anchor, class) pairs above threshold
+        flat = cls_scores.reshape(-1)  # [A*nc]
+        k = min(max_nms, flat.shape[0])
+        scores, flat_idx = jax.lax.top_k(flat, k)
+        anchor_idx = flat_idx // nc
+        cls_idx = (flat_idx % nc).astype(jnp.float32)
+        cboxes = boxes[anchor_idx]
+        cextra = pred[anchor_idx, 4 + nc :] if extra else jnp.zeros((k, 0), pred.dtype)
+    else:
+        conf = jnp.max(cls_scores, axis=-1)
+        k = min(max_nms, a)
+        scores, anchor_idx = jax.lax.top_k(conf, k)
+        cls_idx = jnp.argmax(cls_scores[anchor_idx], axis=-1).astype(jnp.float32)
+        cboxes = boxes[anchor_idx]
+        cextra = pred[anchor_idx, 4 + nc :] if extra else jnp.zeros((k, 0), pred.dtype)
+
+    valid = scores > conf_thres
+    scores = jnp.where(valid, scores, 0.0)
+    offset = 0.0 if agnostic else cls_idx[:, None] * MAX_WH
+    keep_idx, keep_valid = _greedy_nms(cboxes + offset, scores.astype(jnp.float32), iou_thres, max_det)
+
+    out_boxes = cboxes[keep_idx] * keep_valid[:, None]
+    out_scores = scores[keep_idx] * keep_valid
+    out_cls = jnp.where(keep_valid, cls_idx[keep_idx], -1.0)
+    out_extra = cextra[keep_idx] * keep_valid[:, None] if extra else cextra[:max_det]
+    return {
+        "boxes": out_boxes,
+        "scores": out_scores,
+        "classes": out_cls,
+        "valid": keep_valid,
+        "extra": out_extra,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nc", "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "multi_label"),
+)
+def non_max_suppression(
+    prediction: jnp.ndarray,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 30000,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    class_mask: Optional[jnp.ndarray] = None,
+):
+    """Batched fixed-shape NMS.
+
+    Args:
+        prediction: [B, A, 4+nc+extra], boxes xywh in input-image pixels
+            (the decoded output of the Detect head, anchors-last layout).
+        class_mask: optional [nc] 0/1 mask implementing the ``classes=`` filter.
+
+    Returns:
+        dict of boxes [B,max_det,4] (xyxy), scores [B,max_det],
+        classes [B,max_det] (-1 where invalid), valid [B,max_det] bool,
+        extra [B,max_det,extra].
+    """
+    fn = partial(
+        _single_image_nms,
+        nc=nc,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        max_nms=max_nms,
+        agnostic=agnostic,
+        multi_label=multi_label,
+        class_mask=class_mask,
+    )
+    return jax.vmap(fn)(prediction)

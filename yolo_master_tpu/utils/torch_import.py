@@ -1,0 +1,110 @@
+"""Reference-checkpoint importer: torch state_dict -> functional params pytree.
+
+Essential for parity testing against the PyTorch reference (SURVEY.md §7.1):
+YOLO-Master ``.pt`` checkpoints (pickled torch module trees, reference
+nn/tasks.py:1906 load_checkpoint) convert mechanically because our param tree
+mirrors the torch module tree. Only layout transforms are needed:
+
+  * conv weights OIHW -> HWIO (NHWC/TPU layout)
+  * linear weights [out, in] -> [in, out]
+  * BN: weight->scale, bias->bias, running_mean->mean, running_var->var
+  * our "layers" root <-> torch "model" root
+  * ES_MOE: torch ``norm.0`` (BN in Sequential) <-> our "norm_bn";
+    torch ``routing.routing_network.{0,2}`` 1x1 convs <-> our routing.fc{1,2}
+    matrices (squeezed to 2D).
+
+No torch import is required at inference time; this module only needs torch
+when actually reading a ``.pt`` file.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+__all__ = ["import_state_dict", "load_reference_checkpoint"]
+
+
+def _to_numpy(v) -> np.ndarray:
+    if isinstance(v, np.ndarray):
+        return v
+    # torch tensor (duck-typed to avoid importing torch unnecessarily)
+    return v.detach().cpu().numpy()
+
+
+def _torch_key(path: list[str]) -> list[str]:
+    """Map our param path to the reference torch state_dict key parts."""
+    parts: list[str] = []
+    for seg in path:
+        if seg == "layers":
+            parts.append("model")
+        elif seg == "norm_bn":
+            parts.extend(["norm", "0"])
+        elif seg == "fc1":
+            parts.extend(["routing_network", "0"])
+        elif seg == "fc2":
+            parts.extend(["routing_network", "2"])
+        else:
+            parts.append(seg)
+    return parts
+
+
+_LEAF_MAP = {"w": "weight", "b": "bias", "scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+
+
+def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict: bool = True) -> Dict[str, Any]:
+    """Fill ``params`` (our tree, used as the structure/shape template) from a
+    torch state_dict. Returns a new tree; raises on missing/mismatched keys
+    when ``strict``."""
+    sd = {k: v for k, v in state_dict.items()}
+    used = set()
+
+    def convert(template_leaf: np.ndarray, value: np.ndarray, leaf_name: str) -> np.ndarray:
+        v = _to_numpy(value).astype(np.float32)
+        t_shape = tuple(template_leaf.shape)
+        if v.ndim == 4 and len(t_shape) == 4:
+            v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        elif v.ndim == 4 and len(t_shape) == 2:
+            v = v.reshape(v.shape[0], v.shape[1]).T  # 1x1 conv -> matrix [in, out]
+        elif v.ndim == 2 and len(t_shape) == 2 and v.shape != t_shape:
+            v = v.T  # linear [out,in] -> [in,out]
+        if tuple(v.shape) != t_shape:
+            raise ValueError(f"shape mismatch for leaf {leaf_name}: torch {v.shape} vs ours {t_shape}")
+        return v
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + [k]) for k, v in node.items()}
+        parts = _torch_key(path[:-1])
+        leaf = _LEAF_MAP.get(path[-1], path[-1])
+        key = ".".join(parts + [leaf])
+        if key not in sd:
+            if strict:
+                raise KeyError(f"missing torch key '{key}' for our path {'.'.join(path)}")
+            return node
+        used.add(key)
+        return convert(node, sd[key], key)
+
+    out = walk(params, [])
+    if strict:
+        leftovers = {
+            k
+            for k in sd
+            if k not in used
+            and not k.endswith("num_batches_tracked")
+            and ".dfl." not in k  # frozen DFL projection — ours is a pure function
+        }
+        if leftovers:
+            raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:10]} (+{max(len(leftovers)-10,0)} more)")
+    return out
+
+
+def load_reference_checkpoint(params, pt_path: str, strict: bool = True):
+    """Load a YOLO-Master .pt (pickle of dict with 'model' or 'ema')."""
+    import torch
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+    sd = model.float().state_dict() if hasattr(model, "state_dict") else model
+    return import_state_dict(params, sd, strict=strict)
