@@ -8,10 +8,16 @@ count is forced *before* jax initializes.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon (single tunneled TPU); tests
+# must run on the virtual 8-device CPU mesh, so force cpu via jax config
+# (env-var override is ineffective here).
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

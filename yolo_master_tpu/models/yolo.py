@@ -1,0 +1,87 @@
+"""YOLO model facade (reference: ultralytics/engine/model.py:30-1199).
+
+Unified user entry point: ``YOLO("yolo-master-n").predict(...)/.val()/.train()``.
+Model sources: a model name / yaml (fresh init), our orbax/npz checkpoints, or
+a reference PyTorch ``.pt`` (converted on load via utils/torch_import).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..cfg import COCO_NAMES
+from ..engine.predictor import DetectionPredictor
+from ..nn.tasks import ClassificationModel, DetectionModel
+from ..utils import LOGGER
+
+TASK_MODELS = {"detect": DetectionModel, "classify": ClassificationModel}
+
+
+class YOLO:
+    """User facade over task models (reference engine/model.py Model class)."""
+
+    def __init__(self, model: str = "yolo-master-n", task: str = "detect", nc: Optional[int] = None, seed: int = 0):
+        self.task = task
+        self.names: Dict[int, str] = dict(COCO_NAMES)
+        self.ckpt_path = None
+        model = str(model)
+        if model.endswith(".pt"):
+            raise NotImplementedError(
+                "loading reference .pt directly by path: use YOLO(name).load_torch(path) with the matching yaml"
+            )
+        if model.endswith((".npz", ".ckpt")):
+            raise NotImplementedError("native checkpoint loading lands with the trainer")
+        self.model = TASK_MODELS[task](model, nc=nc)
+        self.model_name = model
+        self.params = self.model.init_params(seed)
+        self._predictor: Optional[DetectionPredictor] = None
+
+    # -- weights ---------------------------------------------------------------
+    def load_torch(self, pt_path: str) -> "YOLO":
+        """Import reference PyTorch weights (.pt) into the params tree."""
+        from ..utils.torch_import import load_reference_checkpoint
+
+        self.params = jax.device_put(load_reference_checkpoint(self.params, pt_path))
+        self.ckpt_path = pt_path
+        LOGGER.info(f"imported reference checkpoint {pt_path}")
+        return self
+
+    def load_state_dict(self, state_dict) -> "YOLO":
+        from ..utils.torch_import import import_state_dict
+
+        self.params = jax.device_put(import_state_dict(self.params, state_dict))
+        return self
+
+    # -- inference ---------------------------------------------------------------
+    def predict(self, source, **kwargs):
+        pred_keys = {"imgsz", "conf", "iou", "max_det", "max_nms", "agnostic_nms", "classes", "batch", "compute_dtype"}
+        cfg = {k: v for k, v in kwargs.items() if k in pred_keys}
+        if self._predictor is None or cfg:
+            self._predictor = DetectionPredictor(self.model, self.params, names=self.names, **cfg)
+        self._predictor.params = self.params
+        return self._predictor(source)
+
+    def __call__(self, source, **kwargs):
+        return self.predict(source, **kwargs)
+
+    # -- training / validation (engine milestones) -------------------------------
+    def train(self, **kwargs):
+        from ..engine.trainer import DetectionTrainer
+
+        trainer = DetectionTrainer(self, **kwargs)
+        return trainer.train()
+
+    def val(self, **kwargs):
+        from ..engine.validator import DetectionValidator
+
+        validator = DetectionValidator(self, **kwargs)
+        return validator()
+
+    def info(self):
+        n = self.model.num_params(self.params)
+        LOGGER.info(f"{self.model_name}: {n:,} params (incl. BN stats), strides {getattr(self.model, 'head_strides', None)}")
+        return n

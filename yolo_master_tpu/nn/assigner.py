@@ -1,0 +1,110 @@
+"""Task-Aligned Assigner, static-shape JAX (reference: ultralytics/utils/tal.py:14-352).
+
+The torch version uses boolean indexing over dynamic candidate sets; here every
+step is a masked dense op over [B, M, A] (batch, padded GT slots, anchors) so
+the whole assignment lives inside the jitted train step (SURVEY.md §7 "one-pass
+static train step containing TAL").
+
+Semantics preserved:
+  * tiny GTs (w or h < min stride) inflated to stride_val before the
+    center-in-box test (tal.py:288-314)
+  * align metric = cls_score^alpha * CIoU^beta over candidates (tal.py:178-206)
+  * top-k candidates per GT, duplicate-index suppression (tal.py:216-243)
+  * multi-GT conflicts resolved by max overlap (tal.py:316-352)
+  * target-score normalization by pos_overlap/pos_align (tal.py:131-139)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import bbox_iou
+
+
+class AssignResult(NamedTuple):
+    target_labels: jnp.ndarray  # [B, A] int32
+    target_bboxes: jnp.ndarray  # [B, A, 4] xyxy (same units as inputs)
+    target_scores: jnp.ndarray  # [B, A, nc] float
+    fg_mask: jnp.ndarray  # [B, A] bool
+    target_gt_idx: jnp.ndarray  # [B, A] int32
+
+
+def _candidates_in_gts(anchors, gt_bboxes, mask_gt, min_stride, stride_val, eps=1e-9):
+    """[B,M,A] bool: anchor centers strictly inside (inflated) GT boxes."""
+    ctr = (gt_bboxes[..., :2] + gt_bboxes[..., 2:4]) / 2
+    wh = gt_bboxes[..., 2:4] - gt_bboxes[..., :2]
+    small = (wh < min_stride) & mask_gt[..., None]
+    wh = jnp.where(small, stride_val, wh)
+    lt = ctr - wh / 2  # [B,M,2]
+    rb = ctr + wh / 2
+    a = anchors[None, None]  # [1,1,A,2]
+    inside = (a - lt[:, :, None] > eps) & (rb[:, :, None] - a > eps)
+    return jnp.all(inside, -1)
+
+
+def task_aligned_assign(
+    pd_scores: jnp.ndarray,  # [B, A, nc] sigmoid probabilities
+    pd_bboxes: jnp.ndarray,  # [B, A, 4] xyxy, pixel units
+    anchors: jnp.ndarray,  # [A, 2] pixel units
+    gt_labels: jnp.ndarray,  # [B, M] int
+    gt_bboxes: jnp.ndarray,  # [B, M, 4] xyxy pixel units
+    mask_gt: jnp.ndarray,  # [B, M] bool
+    num_classes: int,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    strides: Sequence[int] = (8, 16, 32),
+    eps: float = 1e-9,
+) -> AssignResult:
+    B, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    stride_val = strides[1] if len(strides) > 1 else strides[0]
+
+    mask_gt_f = mask_gt.astype(jnp.float32)
+    mask_in = _candidates_in_gts(anchors, gt_bboxes, mask_gt, strides[0], stride_val, eps)  # [B,M,A]
+    mask_in = mask_in & mask_gt[:, :, None]
+
+    # per-GT class scores of every anchor: gather class gt_labels[b,m] over nc
+    labels = jnp.clip(gt_labels, 0, num_classes - 1)
+    bbox_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1
+    )  # [B,M,A]
+    bbox_scores = jnp.where(mask_in, bbox_scores, 0.0)
+
+    overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True)
+    overlaps = jnp.clip(jnp.where(mask_in, overlaps, 0.0), 0.0, None)  # [B,M,A]
+
+    align = bbox_scores.astype(jnp.float32) ** alpha * overlaps.astype(jnp.float32) ** beta
+
+    # top-k candidates per GT (duplicate indices suppressed like the reference)
+    _, topk_idx = jax.lax.top_k(align, topk)  # [B,M,topk]
+    count = jnp.sum(jax.nn.one_hot(topk_idx, A, dtype=jnp.int32), axis=2)  # [B,M,A]
+    mask_topk = count == 1
+    mask_pos = (mask_topk & mask_in).astype(jnp.float32) * mask_gt_f[:, :, None]
+
+    # resolve anchors claimed by multiple GTs: keep the max-overlap GT
+    fg = jnp.sum(mask_pos, 1)  # [B,A]
+    multi = (fg > 1)[:, None, :]  # [B,1,A]
+    is_max = jax.nn.one_hot(jnp.argmax(overlaps, 1), M, dtype=jnp.float32).transpose(0, 2, 1)  # [B,M,A]
+    mask_pos = jnp.where(multi, is_max, mask_pos)
+    fg_mask = jnp.sum(mask_pos, 1) > 0  # [B,A]
+    target_gt_idx = jnp.argmax(mask_pos, 1).astype(jnp.int32)  # [B,A]
+
+    # gather targets
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, 1)  # [B,A]
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], 1)  # [B,A,4]
+    target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=jnp.float32)
+    target_scores = target_scores * fg_mask[..., None]
+
+    # normalize by per-GT max align / max overlap (tal.py:131-139)
+    align = align * mask_pos
+    pos_align = jnp.max(align, -1, keepdims=True)  # [B,M,1]
+    pos_overlap = jnp.max(overlaps * mask_pos, -1, keepdims=True)
+    norm = jnp.max(align * pos_overlap / (pos_align + eps), 1)  # [B,A]
+    target_scores = target_scores * norm[..., None]
+
+    return AssignResult(target_labels.astype(jnp.int32), target_bboxes, target_scores, fg_mask, target_gt_idx)
