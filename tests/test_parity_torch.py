@@ -84,3 +84,140 @@ def test_backbone_feature_parity(pair):
     jf = np.asarray(y).transpose(0, 3, 1, 2)
     err = np.abs(feats["l3"] - jf).max()
     assert err < 1e-4, f"layer-3 feature mismatch: {err}"
+
+
+def test_tal_assigner_parity(torch_reference):
+    """Same inputs through the torch TaskAlignedAssigner and ours."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.utils.tal import TaskAlignedAssigner as TorchTAL
+
+    from yolo_master_tpu.nn.assigner import task_aligned_assign
+
+    rng = np.random.default_rng(7)
+    B, A, M, nc = 2, 84, 6, 4
+    # anchor points on an 8x8 grid + 4x4 grid + 2x2 grid (strides 8/16/32), 64px img
+    pts = []
+    for s, g in ((8, 8), (16, 4), (32, 2)):
+        xs = (np.arange(g) + 0.5) * s
+        gx, gy = np.meshgrid(xs, xs)
+        pts.append(np.stack([gx, gy], -1).reshape(-1, 2))
+    anc = np.concatenate(pts).astype(np.float32)
+    pd_scores = rng.uniform(0, 1, (B, A, nc)).astype(np.float32)
+    ctr = rng.uniform(8, 56, (B, A, 2))
+    wh = rng.uniform(8, 40, (B, A, 2))
+    pd_boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    gctr = rng.uniform(12, 52, (B, M, 2))
+    gwh = rng.uniform(10, 36, (B, M, 2))
+    gt_boxes = np.concatenate([gctr - gwh / 2, gctr + gwh / 2], -1).astype(np.float32)
+    gt_labels = rng.integers(0, nc, (B, M)).astype(np.int64)
+    mask = np.ones((B, M), bool)
+    mask[0, 4:] = False  # padded slots
+    gt_boxes_t = gt_boxes * mask[..., None]  # torch detects valid GT by sum>0
+
+    torch_tal = TorchTAL(topk=10, num_classes=nc, alpha=0.5, beta=6.0, stride=[8, 16, 32])
+    tl, tb, ts, tfg, tgi = torch_tal(
+        torch.from_numpy(pd_scores),
+        torch.from_numpy(pd_boxes),
+        torch.from_numpy(anc),
+        torch.from_numpy(gt_labels[..., None]),
+        torch.from_numpy(gt_boxes_t),
+        torch.from_numpy(mask[..., None].astype(np.float32)),
+    )
+
+    res = task_aligned_assign(
+        jnp.asarray(pd_scores),
+        jnp.asarray(pd_boxes),
+        jnp.asarray(anc),
+        jnp.asarray(gt_labels),
+        jnp.asarray(gt_boxes_t),
+        jnp.asarray(mask),
+        num_classes=nc,
+        topk=10,
+        alpha=0.5,
+        beta=6.0,
+        strides=(8, 16, 32),
+    )
+    # exact fg parity is impossible on zero-align tie-break anchors (top-k over
+    # exact-zero metrics is tie-broken differently by torch.topk vs lax.top_k);
+    # those anchors carry zero target-score weight in BOTH frameworks, so the
+    # loss-relevant quantities must match exactly:
+    ts_np = ts.numpy()
+    assert np.allclose(np.asarray(res.target_scores), ts_np, atol=1e-5), "target_scores mismatch"
+    weighted = ts_np.sum(-1) > 0  # anchors that contribute to box/dfl loss
+    mfg = np.asarray(res.fg_mask)
+    assert np.array_equal(mfg & weighted, tfg.numpy() & weighted), "weighted fg mismatch"
+    fg = tfg.numpy() & weighted
+    assert np.allclose(np.asarray(res.target_bboxes)[fg], tb.numpy()[fg], atol=1e-5)
+
+
+def test_detection_loss_parity(pair):
+    """Same raw head outputs + targets through both loss stacks."""
+    import jax.numpy as jnp
+    import torch
+
+    tm, jm, params = pair
+    from ultralytics.cfg import get_cfg
+    from ultralytics.utils.loss import v8DetectionLoss
+
+    tm.args = get_cfg()  # default hyp: box 7.5, cls 0.5, dfl 1.5
+    torch_loss = v8DetectionLoss(tm)
+
+    rng = np.random.default_rng(3)
+    B, nc, reg_max = 2, 80, 16
+    hw = [(8, 8), (4, 4), (2, 2)]
+    A = sum(h * w for h, w in hw)
+    boxes_raw = rng.standard_normal((B, A, 4 * reg_max)).astype(np.float32)
+    scores_raw = (rng.standard_normal((B, A, nc)) - 3).astype(np.float32)
+
+    # 3 GT in image 0, 1 GT in image 1 (normalized xywh, 64px image)
+    batch_idx = np.array([0, 0, 0, 1], np.float32)
+    cls = np.array([1, 5, 20, 3], np.float32)
+    xywh = np.array(
+        [[0.3, 0.3, 0.25, 0.3], [0.7, 0.6, 0.3, 0.4], [0.5, 0.8, 0.2, 0.15], [0.4, 0.4, 0.5, 0.5]], np.float32
+    )
+    tpreds = {
+        "boxes": torch.from_numpy(boxes_raw.transpose(0, 2, 1)),
+        "scores": torch.from_numpy(scores_raw.transpose(0, 2, 1)),
+        "feats": [torch.zeros(B, 1, h, w) for h, w in hw],
+    }
+    tbatch = {
+        "batch_idx": torch.from_numpy(batch_idx),
+        "cls": torch.from_numpy(cls),
+        "bboxes": torch.from_numpy(xywh),
+    }
+    tloss, titems = torch_loss.loss(tpreds, tbatch)
+
+    from yolo_master_tpu.nn.losses import detection_loss
+
+    # our padded-GT layout, boxes in input pixels (64)
+    M = 4
+    gt_boxes = np.zeros((B, M, 4), np.float32)
+    gt_cls = np.zeros((B, M), np.int32)
+    gt_mask = np.zeros((B, M), bool)
+    from yolo_master_tpu.ops.boxes import xywh2xyxy
+
+    for i in range(4):
+        b = int(batch_idx[i])
+        slot = int(gt_mask[b].sum())
+        gt_boxes[b, slot] = np.asarray(xywh2xyxy(jnp.asarray(xywh[i] * 64.0)))
+        gt_cls[b, slot] = int(cls[i])
+        gt_mask[b, slot] = True
+
+    lb = detection_loss(
+        {"boxes": jnp.asarray(boxes_raw), "scores": jnp.asarray(scores_raw)},
+        hw,
+        (8, 16, 32),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_cls),
+        jnp.asarray(gt_mask),
+        nc=nc,
+        reg_max=reg_max,
+    )
+    ours = np.array([float(lb.box), float(lb.cls), float(lb.dfl)])
+    theirs = (titems * B).numpy() if titems.numel() == 3 else titems.numpy()
+    # torch returns loss*batch_size; items are pre-batch-scale
+    got_total = float(lb.total)
+    assert np.allclose(ours, theirs, rtol=2e-4, atol=2e-4), f"{ours} vs {theirs}"
+    assert np.isclose(got_total, float(tloss.sum()), rtol=2e-4), f"{got_total} vs {float(tloss.sum())}"

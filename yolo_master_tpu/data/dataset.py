@@ -1,0 +1,242 @@
+"""YOLO-format detection dataset + host-side loader.
+
+Reference: ultralytics/data/dataset.py:52 (YOLODataset), data/build.py (loaders),
+data/augment.py (Mosaic/RandomHSV/RandomFlip/LetterBox).
+
+TPU-first contract: the loader yields *fixed-shape* numpy batches —
+images [B,H,W,3] float32 RGB /255, GT padded to max_gt per image as
+xyxy pixel boxes + class ids + validity mask — so the jitted train step never
+recompiles. Augmentations run on host (numpy/cv2), mirroring the reference's
+CPU dataloader workers.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils import LOGGER, yaml_load
+from .letterbox import letterbox
+
+IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+
+
+def img2label_path(img_path: str) -> str:
+    """images/... -> labels/... with .txt (reference data/utils.py)."""
+    p = Path(img_path)
+    parts = list(p.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return str(Path(*parts).with_suffix(".txt"))
+
+
+class YOLODataset:
+    """Detection dataset over a dataset yaml ({path, train, val, names})."""
+
+    def __init__(self, data: str | dict, split: str = "train", imgsz: int = 640, max_gt: int = 128,
+                 augment: bool = False, hyp: Optional[dict] = None):
+        if isinstance(data, (str, Path)):
+            yaml_path = Path(data)
+            cfg = yaml_load(yaml_path)
+            root = Path(cfg.get("path", yaml_path.parent))
+            if not root.is_absolute():
+                root = yaml_path.parent / root
+        else:
+            cfg = dict(data)
+            root = Path(cfg.get("path", "."))
+        self.names = cfg.get("names", {})
+        if isinstance(self.names, list):
+            self.names = dict(enumerate(self.names))
+        self.nc = len(self.names)
+        split_dir = cfg.get(split) or cfg.get("val")
+        img_dir = root / split_dir
+        self.img_files = sorted(str(f) for f in Path(img_dir).rglob("*") if f.suffix.lower().lstrip(".") in IMG_FORMATS)
+        if not self.img_files:
+            raise FileNotFoundError(f"no images found in {img_dir}")
+        self.labels = [self._load_label(img2label_path(f)) for f in self.img_files]
+        self.imgsz = imgsz
+        self.max_gt = max_gt
+        self.augment = augment
+        self.hyp = {"fliplr": 0.5, "flipud": 0.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+                    "mosaic": 1.0, "scale": 0.5, "translate": 0.1, **(hyp or {})}
+
+    @staticmethod
+    def _load_label(path: str) -> np.ndarray:
+        """[N, 5] rows of (cls, xc, yc, w, h) normalized."""
+        p = Path(path)
+        if not p.exists():
+            return np.zeros((0, 5), np.float32)
+        rows = []
+        for line in p.read_text().splitlines():
+            vals = line.split()
+            if len(vals) >= 5:
+                rows.append([float(v) for v in vals[:5]])
+        return np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+
+    def __len__(self):
+        return len(self.img_files)
+
+    # -- single-sample pipeline -------------------------------------------------
+    def load_sample(self, idx: int, rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (image HWC RGB float-ready uint8, labels [N,5] cls+xyxy px)."""
+        import cv2
+
+        im = cv2.imread(self.img_files[idx])
+        if im is None:
+            raise FileNotFoundError(self.img_files[idx])
+        h0, w0 = im.shape[:2]
+        lbl = self.labels[idx].copy()
+
+        if self.augment and self.hyp["mosaic"] > 0 and rng.random() < self.hyp["mosaic"]:
+            im, lbl = self._mosaic4(idx, rng)
+            h0, w0 = im.shape[:2]
+            # mosaic labels already in pixel xyxy
+            boxes_px = lbl[:, 1:5]
+            cls = lbl[:, 0]
+        else:
+            # cls,xc,yc,w,h normalized -> xyxy px
+            cls = lbl[:, 0]
+            xc, yc, w, h = lbl[:, 1] * w0, lbl[:, 2] * h0, lbl[:, 3] * w0, lbl[:, 4] * h0
+            boxes_px = np.stack([xc - w / 2, yc - h / 2, xc + w / 2, yc + h / 2], -1) if len(lbl) else np.zeros((0, 4), np.float32)
+
+        im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
+        boxes_px = boxes_px * ratio[0]
+        boxes_px[:, [0, 2]] += pad[0]
+        boxes_px[:, [1, 3]] += pad[1]
+
+        if self.augment:
+            im_lb, boxes_px = self._augment_hsv_flip(im_lb, boxes_px, rng)
+
+        im_rgb = im_lb[..., ::-1].astype(np.uint8)
+        out = np.concatenate([cls[:, None], boxes_px], -1) if len(cls) else np.zeros((0, 5), np.float32)
+        return im_rgb, out
+
+    def _mosaic4(self, idx: int, rng: random.Random):
+        """4-image mosaic (reference data/augment.py:422 Mosaic), output 2*imgsz
+        canvas center-cropped to imgsz-scale space by the later letterbox."""
+        import cv2
+
+        s = self.imgsz
+        yc = int(rng.uniform(s * 0.5, s * 1.5))
+        xc = int(rng.uniform(s * 0.5, s * 1.5))
+        idxs = [idx] + [rng.randrange(len(self)) for _ in range(3)]
+        canvas = np.full((s * 2, s * 2, 3), 114, np.uint8)
+        all_labels = []
+        for i, ix in enumerate(idxs):
+            im = cv2.imread(self.img_files[ix])
+            h0, w0 = im.shape[:2]
+            r = s / max(h0, w0)
+            if r != 1:
+                im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=cv2.INTER_LINEAR)
+            h, w = im.shape[:2]
+            if i == 0:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            canvas[y1a:y2a, x1a:x2a] = im[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            lbl = self.labels[ix]
+            if len(lbl):
+                cls = lbl[:, 0:1]
+                bx = lbl[:, 1:5].copy()
+                bw, bh = bx[:, 2] * w, bx[:, 3] * h
+                bxc, byc = bx[:, 0] * w + padw, bx[:, 1] * h + padh
+                xyxy = np.stack([bxc - bw / 2, byc - bh / 2, bxc + bw / 2, byc + bh / 2], -1)
+                all_labels.append(np.concatenate([cls, xyxy], -1))
+        if all_labels:
+            lbl = np.concatenate(all_labels, 0)
+            lbl[:, 1:5] = lbl[:, 1:5].clip(0, 2 * s)
+            # drop degenerate boxes
+            wh = lbl[:, 3:5] - lbl[:, 1:3]
+            lbl = lbl[(wh > 2).all(1)]
+        else:
+            lbl = np.zeros((0, 5), np.float32)
+        return canvas, lbl
+
+    def _augment_hsv_flip(self, im: np.ndarray, boxes: np.ndarray, rng: random.Random):
+        """RandomHSV + RandomFlip (reference augment.py:1403,1480). im is BGR."""
+        import cv2
+
+        h = self.hyp
+        if h["hsv_h"] or h["hsv_s"] or h["hsv_v"]:
+            r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [h["hsv_h"], h["hsv_s"], h["hsv_v"]] + 1
+            hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
+            x = np.arange(256)
+            lut_h = ((x * r[0]) % 180).astype(im.dtype)
+            lut_s = np.clip(x * r[1], 0, 255).astype(im.dtype)
+            lut_v = np.clip(x * r[2], 0, 255).astype(im.dtype)
+            im = cv2.cvtColor(cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v))), cv2.COLOR_HSV2BGR)
+        if rng.random() < h["fliplr"]:
+            im = im[:, ::-1]
+            if len(boxes):
+                w = im.shape[1]
+                boxes = boxes.copy()
+                boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+        if rng.random() < h["flipud"]:
+            im = im[::-1]
+            if len(boxes):
+                hgt = im.shape[0]
+                boxes = boxes.copy()
+                boxes[:, [1, 3]] = hgt - boxes[:, [3, 1]]
+        return np.ascontiguousarray(im), boxes
+
+
+def collate(samples: List[Tuple[np.ndarray, np.ndarray]], max_gt: int) -> Dict[str, np.ndarray]:
+    """Stack into fixed-shape batch; pad GT to max_gt."""
+    B = len(samples)
+    H, W = samples[0][0].shape[:2]
+    images = np.zeros((B, H, W, 3), np.float32)
+    boxes = np.zeros((B, max_gt, 4), np.float32)
+    classes = np.zeros((B, max_gt), np.int32)
+    mask = np.zeros((B, max_gt), bool)
+    for i, (im, lbl) in enumerate(samples):
+        images[i] = im.astype(np.float32) / 255.0
+        n = min(len(lbl), max_gt)
+        if n:
+            boxes[i, :n] = lbl[:n, 1:5]
+            classes[i, :n] = lbl[:n, 0].astype(np.int32)
+            mask[i, :n] = True
+    return {"images": images, "boxes": boxes, "classes": classes, "mask": mask}
+
+
+class DataLoader:
+    """Infinite (train) or single-pass (val) fixed-shape batch iterator."""
+
+    def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = False):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = random.Random(self.seed + epoch)
+        order = list(range(len(self.ds)))
+        if self.shuffle:
+            rng.shuffle(order)
+        for start in range(0, len(order), self.bs):
+            idxs = order[start : start + self.bs]
+            if len(idxs) < self.bs:
+                if self.drop_last:
+                    break
+                idxs = idxs + order[: self.bs - len(idxs)]  # wrap to keep static shape
+            samples = [self.ds.load_sample(i, rng) for i in idxs]
+            yield collate(samples, self.ds.max_gt)

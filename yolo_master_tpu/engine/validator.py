@@ -1,0 +1,121 @@
+"""Detection validator (reference: ultralytics/engine/validator.py:56-294 +
+models/yolo/detect/val.py).
+
+Eval loop: letterboxed batches -> jitted forward+decode -> fixed-shape NMS
+(multi_label=True, conf=0.001, iou=0.7, the reference val defaults) ->
+host-side greedy matching at 10 IoU thresholds -> ap_per_class.
+
+Matching happens in letterboxed input space (targets and predictions share the
+same transform, equivalent to the reference's original-space matching up to
+boundary clipping); COCO-json eval in original space is the breadth milestone.
+
+Data-parallel: batches are sharded over the mesh 'data' axis; matching stats
+accumulate on host (the single-program analog of the reference's
+all_gather_object merge, detect/val.py:243-268).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import DataLoader, YOLODataset
+from ..nn.module import Context
+from ..ops.nms import non_max_suppression
+from ..utils import LOGGER
+from ..utils.metrics import DetMetrics
+
+
+class DetectionValidator:
+    def __init__(
+        self,
+        yolo=None,
+        model=None,
+        params=None,
+        data: Optional[str] = None,
+        imgsz: int = 640,
+        batch: int = 8,
+        conf: float = 0.001,
+        iou: float = 0.7,
+        max_det: int = 300,
+        max_nms: int = 4096,
+        max_gt: int = 128,
+        mesh=None,
+        use_ema: bool = True,
+    ):
+        if yolo is not None:
+            model = yolo.model
+            params = params if params is not None else yolo.params
+        self.model = model
+        self.params = params
+        self.data = data
+        self.imgsz = imgsz
+        self.batch = batch
+        self.conf, self.iou = conf, iou
+        self.max_det, self.max_nms = max_det, max_nms
+        self.max_gt = max_gt
+        self.mesh = mesh
+        self._fn = None
+
+    def _jit_fn(self):
+        if self._fn is None:
+            model, conf, iou = self.model, self.conf, self.iou
+            max_det, max_nms = self.max_det, self.max_nms
+
+            def run(params, x):
+                decoded = model.forward_predict(params, x, Context(training=False))
+                return non_max_suppression(
+                    decoded, nc=model.nc, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_nms=max_nms, multi_label=True,
+                )
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._fn = jax.jit(
+                    run,
+                    in_shardings=(NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P("data"))),
+                )
+            else:
+                self._fn = jax.jit(run)
+        return self._fn
+
+    def __call__(self, params=None, dataset: Optional[YOLODataset] = None) -> Dict[str, float]:
+        params = params if params is not None else self.params
+        if dataset is None:
+            dataset = YOLODataset(self.data, split="val", imgsz=self.imgsz, max_gt=self.max_gt, augment=False)
+        loader = DataLoader(dataset, self.batch, shuffle=False)
+        metrics = DetMetrics(self.model.nc, dataset.names)
+        fn = self._jit_fn()
+        n_img = len(dataset)
+        t0 = time.perf_counter()
+        seen = 0
+        for batch in loader.epoch(0):
+            det = fn(params, jnp.asarray(batch["images"]))
+            det = jax.tree_util.tree_map(np.asarray, det)
+            bs = batch["images"].shape[0]
+            for i in range(bs):
+                if seen >= n_img:
+                    break  # wrap-padded tail duplicates
+                n = int(det["valid"][i].sum())
+                gt_n = int(batch["mask"][i].sum())
+                metrics.update(
+                    det["boxes"][i, :n],
+                    det["scores"][i, :n],
+                    det["classes"][i, :n],
+                    batch["boxes"][i, :gt_n],
+                    batch["classes"][i, :gt_n],
+                )
+                seen += 1
+        out = metrics.compute()
+        out["images"] = seen
+        out["sec"] = time.perf_counter() - t0
+        LOGGER.info(
+            f"val: {seen} imgs  P {out['precision']:.3f}  R {out['recall']:.3f}  "
+            f"mAP50 {out['mAP50']:.3f}  mAP50-95 {out['mAP50-95']:.3f}  ({out['sec']:.1f}s)"
+        )
+        return out

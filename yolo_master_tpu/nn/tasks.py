@@ -112,11 +112,11 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
                 n = 1
             if m is C3k2:
                 legacy = False
-                if scale in "mlx":
+                if scale and scale in "mlx":
                     args[3] = True
             if m is A2C2f:
                 legacy = False
-                if scale in "lx":
+                if scale and scale in "lx":
                     args.extend((True, 1.2))
         elif m in MIXTURE_MODULES:
             c1, c2 = channels[f], args[0]
