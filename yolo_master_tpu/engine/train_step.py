@@ -90,28 +90,14 @@ def make_train_step(
         ctx = Context(training=True, compute_dtype=compute_dtype)
         x = batch["images"].astype(compute_dtype)
         preds = model.forward_train(params, x, ctx)
-        lb = composite_loss(
-            preds,
-            preds["hw_shapes"],
-            model.head_strides,
-            batch["boxes"],
-            batch["classes"],
-            batch["mask"],
-            nc=model.nc,
-            aux_total=ctx.total_aux(),
-            box_gain=hyp["box"],
-            cls_gain=hyp["cls"],
-            dfl_gain=hyp["dfl"],
-            moe_gain=hyp["moe"],
-            end2end=model.head.end2end,
-        )
-        return lb.total, (lb, ctx.updates)
+        total, metrics = model.compute_loss(preds, batch, ctx.total_aux(), hyp)
+        return total, (metrics, ctx.updates)
 
     def step(state: TrainState, batch):
-        (_, (lb, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        (total, (loss_metrics, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         # non-finite guard: skip the update on NaN/Inf loss (functional analog
         # of the reference's coordinated NaN recovery, trainer.py:1026,1392)
-        finite = jnp.isfinite(lb.total)
+        finite = jnp.isfinite(total)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = apply_updates(params, bn_updates)
@@ -129,21 +115,14 @@ def make_train_step(
             n_updates = state.ema_updates
             ema = state.ema_params
         new_state = TrainState(params, opt_state, ema, state.step + 1, n_updates)
-        metrics = {
-            "loss": lb.total,
-            "box_loss": lb.box,
-            "cls_loss": lb.cls,
-            "dfl_loss": lb.dfl,
-            "aux_loss": lb.aux,
-            "finite": finite.astype(jnp.float32),
-        }
+        metrics = dict(loss_metrics)
+        metrics["finite"] = finite.astype(jnp.float32)
         return new_state, metrics
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        batch_sh = {"images": data, "boxes": data, "classes": data, "mask": data}
-        return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl), donate_argnums=(0,))
+        data = NamedSharding(mesh, P("data"))  # applies to every batch leaf
+        return jax.jit(step, in_shardings=(repl, data), out_shardings=(repl, repl), donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))

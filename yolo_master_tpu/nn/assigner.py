@@ -108,3 +108,85 @@ def task_aligned_assign(
     target_scores = target_scores * norm[..., None]
 
     return AssignResult(target_labels.astype(jnp.int32), target_bboxes, target_scores, fg_mask, target_gt_idx)
+
+
+def _candidates_in_rotated_gts(anchors, gt_rboxes, mask_gt, min_stride, stride_val):
+    """[B,M,A] bool: anchors inside rotated GT boxes (reference tal.py:362-400).
+    gt_rboxes: [B,M,5] xywhr. Small boxes inflated like the axis-aligned path."""
+    from ..ops.rotated import xywhr2xyxyxyxy
+
+    wh = gt_rboxes[..., 2:4]
+    small = (wh < min_stride) & mask_gt[..., None]
+    gt_rboxes = jnp.concatenate(
+        [gt_rboxes[..., :2], jnp.where(small, stride_val, wh), gt_rboxes[..., 4:]], -1
+    )
+    corners = xywhr2xyxyxyxy(gt_rboxes)  # [B,M,4,2]
+    a, b, _, d = corners[..., 0, :], corners[..., 1, :], corners[..., 2, :], corners[..., 3, :]
+    ab = b - a
+    ad = d - a
+    ap = anchors[None, None, :, :] - a[:, :, None, :]  # [B,M,A,2]
+    norm_ab = jnp.sum(ab * ab, -1)[:, :, None]
+    norm_ad = jnp.sum(ad * ad, -1)[:, :, None]
+    ap_ab = jnp.sum(ap * ab[:, :, None, :], -1)
+    ap_ad = jnp.sum(ap * ad[:, :, None, :], -1)
+    return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
+
+
+def rotated_task_aligned_assign(
+    pd_scores: jnp.ndarray,  # [B, A, nc] sigmoid probabilities
+    pd_rboxes: jnp.ndarray,  # [B, A, 5] xywhr, pixel units
+    anchors: jnp.ndarray,  # [A, 2] pixel units
+    gt_labels: jnp.ndarray,  # [B, M]
+    gt_rboxes: jnp.ndarray,  # [B, M, 5] xywhr pixel units
+    mask_gt: jnp.ndarray,  # [B, M] bool
+    num_classes: int,
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    strides: Sequence[int] = (8, 16, 32),
+    eps: float = 1e-9,
+) -> AssignResult:
+    """RotatedTaskAlignedAssigner (reference tal.py:355-400): probIoU metric +
+    rotated-box candidate test; otherwise identical to the axis-aligned path."""
+    from ..ops.rotated import probiou
+
+    B, A, nc = pd_scores.shape
+    M = gt_rboxes.shape[1]
+    stride_val = strides[1] if len(strides) > 1 else strides[0]
+
+    mask_gt_f = mask_gt.astype(jnp.float32)
+    mask_in = _candidates_in_rotated_gts(anchors, gt_rboxes, mask_gt, strides[0], stride_val)
+    mask_in = mask_in & mask_gt[:, :, None]
+
+    labels = jnp.clip(gt_labels, 0, num_classes - 1)
+    bbox_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1)
+    bbox_scores = jnp.where(mask_in, bbox_scores, 0.0)
+
+    overlaps = probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :])
+    overlaps = jnp.clip(jnp.where(mask_in, overlaps, 0.0), 0.0, None)
+
+    align = bbox_scores.astype(jnp.float32) ** alpha * overlaps.astype(jnp.float32) ** beta
+
+    _, topk_idx = jax.lax.top_k(align, topk)
+    count = jnp.sum(jax.nn.one_hot(topk_idx, A, dtype=jnp.int32), axis=2)
+    mask_topk = count == 1
+    mask_pos = (mask_topk & mask_in).astype(jnp.float32) * mask_gt_f[:, :, None]
+
+    fg = jnp.sum(mask_pos, 1)
+    multi = (fg > 1)[:, None, :]
+    is_max = jax.nn.one_hot(jnp.argmax(overlaps, 1), M, dtype=jnp.float32).transpose(0, 2, 1)
+    mask_pos = jnp.where(multi, is_max, mask_pos)
+    fg_mask = jnp.sum(mask_pos, 1) > 0
+    target_gt_idx = jnp.argmax(mask_pos, 1).astype(jnp.int32)
+
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, 1)
+    target_bboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[..., None], 1)
+    target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=jnp.float32) * fg_mask[..., None]
+
+    align = align * mask_pos
+    pos_align = jnp.max(align, -1, keepdims=True)
+    pos_overlap = jnp.max(overlaps * mask_pos, -1, keepdims=True)
+    norm = jnp.max(align * pos_overlap / (pos_align + eps), 1)
+    target_scores = target_scores * norm[..., None]
+
+    return AssignResult(target_labels.astype(jnp.int32), target_bboxes, target_scores, fg_mask, target_gt_idx)

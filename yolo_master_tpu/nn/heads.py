@@ -220,3 +220,179 @@ class Classify(Module):
         y = jnp.mean(y, axis=(1, 2))
         logits = y @ p["linear"]["w"].astype(y.dtype) + p["linear"]["b"].astype(y.dtype)
         return logits if ctx.training else jax.nn.softmax(logits, -1)
+
+
+class ConvTranspose2x(Module):
+    """2x2 stride-2 transposed conv with bias (Proto upsample, reference block.py:101)."""
+
+    def __init__(self, c1: int, c2: int):
+        super().__init__()
+        self.c1, self.c2 = c1, c2
+
+    def init(self, key) -> Params:
+        from .module import conv_bias_uniform, kaiming_uniform_conv
+
+        k1, k2 = jax.random.split(key)
+        return {
+            "w": kaiming_uniform_conv(k1, (2, 2, self.c2, self.c1)),  # HWOI for transpose
+            "b": conv_bias_uniform(k2, self.c1 * 4, self.c2),
+        }
+
+    def __call__(self, p: Params, x, ctx: Context):
+        y = jax.lax.conv_transpose(
+            x,
+            p["w"].astype(x.dtype),
+            strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + p["b"].astype(y.dtype)
+
+
+class Proto(Module):
+    """Mask prototype module (reference block.py:88-107)."""
+
+    def __init__(self, c1: int, c_: int = 256, c2: int = 32):
+        super().__init__()
+        self.cv1 = Conv(c1, c_, 3)
+        self.upsample = ConvTranspose2x(c_, c_)
+        self.cv2 = Conv(c_, c_, 3)
+        self.cv3 = Conv(c_, c2, 1)
+
+    def __call__(self, p: Params, x, ctx: Context):
+        y = self.cv1(p["cv1"], x, ctx)
+        y = self.upsample(p["upsample"], y, ctx)
+        y = self.cv2(p["cv2"], y, ctx)
+        return self.cv3(p["cv3"], y, ctx)
+
+
+class _ExtraBranch(ModuleList):
+    """Per-level 2-conv + 1x1 branch used by Segment/Pose/OBB cv4."""
+
+    def __init__(self, ch, c4, out):
+        super().__init__([ConvSeq(Conv(x, c4, 3), Conv(c4, c4, 3), _head_out(c4, out)) for x in ch])
+
+
+class Segment(Detect):
+    """Instance segmentation head: Detect + mask coefficients + Proto
+    (reference head.py:265-330)."""
+
+    def __init__(self, nc=80, nm=32, npr=256, reg_max=16, end2end=False, ch=(), legacy=False):
+        super().__init__(nc, reg_max, end2end, ch, legacy)
+        self.nm, self.npr = nm, npr
+        self.proto = Proto(ch[0], npr, nm)
+        c4 = max(ch[0] // 4, nm)
+        self.cv4 = _ExtraBranch(ch, c4, nm)
+        if end2end:
+            self.one2one_cv4 = _ExtraBranch(ch, c4, nm)
+
+    def _extra(self, p, feats, name, ctx, out_dim):
+        branch = getattr(self, name)
+        outs = []
+        for i in range(self.nl):
+            b = feats[i].shape[0]
+            outs.append(branch[i](p[name][str(i)], feats[i], ctx).reshape(b, -1, out_dim))
+        return jnp.concatenate(outs, 1)
+
+    def __call__(self, p, feats, ctx):
+        out = super().__call__(p, feats, ctx)
+        out["one2many"]["mask_coefficient"] = self._extra(p, feats, "cv4", ctx, self.nm)
+        if self.end2end:
+            detached = [jax.lax.stop_gradient(f) for f in feats]
+            out["one2one"]["mask_coefficient"] = self._extra(p, detached, "one2one_cv4", ctx, self.nm)
+        out["proto"] = self.proto(p["proto"], feats[0], ctx)  # [B, H/4?, W/4?, nm]
+        return out
+
+    def decode(self, preds, hw_shapes=None):
+        base = super().decode(preds, hw_shapes)
+        branch = preds["one2one"] if self.end2end else preds["one2many"]
+        return jnp.concatenate([base, branch["mask_coefficient"].astype(base.dtype)], -1)
+
+
+class Pose(Detect):
+    """Keypoint head: Detect + per-anchor kpt regression (reference head.py:558-663)."""
+
+    def __init__(self, nc=80, kpt_shape=(17, 3), reg_max=16, end2end=False, ch=(), legacy=False):
+        super().__init__(nc, reg_max, end2end, ch, legacy)
+        self.kpt_shape = tuple(kpt_shape)
+        self.nk = kpt_shape[0] * kpt_shape[1]
+        c4 = max(ch[0] // 4, self.nk)
+        self.cv4 = _ExtraBranch(ch, c4, self.nk)
+        if end2end:
+            self.one2one_cv4 = _ExtraBranch(ch, c4, self.nk)
+
+    _extra = Segment._extra
+
+    def __call__(self, p, feats, ctx):
+        out = super().__call__(p, feats, ctx)
+        out["one2many"]["kpts"] = self._extra(p, feats, "cv4", ctx, self.nk)
+        if self.end2end:
+            detached = [jax.lax.stop_gradient(f) for f in feats]
+            out["one2one"]["kpts"] = self._extra(p, detached, "one2one_cv4", ctx, self.nk)
+        return out
+
+    def kpts_decode(self, kpts: jnp.ndarray, hw_shapes) -> jnp.ndarray:
+        """[B, A, nk] raw -> decoded keypoints in input pixels
+        (reference head.py:644-663): xy*2 + anchor - 0.5, scaled by stride;
+        visibility sigmoid for 3-dim kpts."""
+        from ..ops.anchors import make_anchors
+
+        anchors, strides = make_anchors(hw_shapes, self.strides)
+        b, a = kpts.shape[:2]
+        nkpt, ndim = self.kpt_shape
+        y = kpts.reshape(b, a, nkpt, ndim)
+        xy = (y[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * strides[None, :, None, :]
+        if ndim == 3:
+            vis = jax.nn.sigmoid(y[..., 2:3].astype(jnp.float32)).astype(y.dtype)
+            y = jnp.concatenate([xy, vis], -1)
+        else:
+            y = xy
+        return y.reshape(b, a, self.nk)
+
+    def decode(self, preds, hw_shapes=None):
+        base = super().decode(preds, hw_shapes)
+        hw_shapes = hw_shapes or preds["hw_shapes"]
+        branch = preds["one2one"] if self.end2end else preds["one2many"]
+        kpts = self.kpts_decode(branch["kpts"], hw_shapes)
+        return jnp.concatenate([base, kpts.astype(base.dtype)], -1)
+
+
+class OBB(Detect):
+    """Oriented-box head: Detect + angle branch (reference head.py:428-520).
+
+    Angle = (sigmoid(logits) - 0.25) * pi, range [-pi/4, 3pi/4]; boxes decoded
+    with dist2rbox -> xywhr output.
+    """
+
+    def __init__(self, nc=80, ne=1, reg_max=16, end2end=False, ch=(), legacy=False):
+        super().__init__(nc, reg_max, end2end, ch, legacy)
+        self.ne = ne
+        c4 = max(ch[0] // 4, ne)
+        self.cv4 = _ExtraBranch(ch, c4, ne)
+        if end2end:
+            self.one2one_cv4 = _ExtraBranch(ch, c4, ne)
+
+    _extra = Segment._extra
+
+    def __call__(self, p, feats, ctx):
+        out = super().__call__(p, feats, ctx)
+        angle = self._extra(p, feats, "cv4", ctx, self.ne)
+        out["one2many"]["angle"] = (jax.nn.sigmoid(angle.astype(jnp.float32)) - 0.25) * math.pi
+        if self.end2end:
+            detached = [jax.lax.stop_gradient(f) for f in feats]
+            a2 = self._extra(p, detached, "one2one_cv4", ctx, self.ne)
+            out["one2one"]["angle"] = (jax.nn.sigmoid(a2.astype(jnp.float32)) - 0.25) * math.pi
+        return out
+
+    def decode(self, preds, hw_shapes=None):
+        """Returns [B, A, 4+nc+ne] with xywhr boxes (xywh in pixels, r appended)."""
+        from ..ops.anchors import dfl_decode, make_anchors
+        from ..ops.rotated import dist2rbox
+
+        branch = preds["one2one"] if self.end2end else preds["one2many"]
+        hw_shapes = hw_shapes or preds["hw_shapes"]
+        anchors, strides = make_anchors(hw_shapes, self.strides)
+        dist = dfl_decode(branch["boxes"], self.reg_max)
+        rbox = dist2rbox(dist, branch["angle"].astype(dist.dtype), anchors[None]) * strides[None]
+        scores = jax.nn.sigmoid(branch["scores"].astype(jnp.float32)).astype(rbox.dtype)
+        return jnp.concatenate([rbox, scores, branch["angle"].astype(rbox.dtype)], -1)

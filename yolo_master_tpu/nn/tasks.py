@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, find_model_yaml, guess_scale, make_divisible, yaml_load
-from .heads import Classify, Detect
+from .heads import OBB, Classify, Detect, Pose, Segment
 from .layers import (
     A2C2f,
     Bottleneck,
@@ -55,6 +55,9 @@ MODULE_REGISTRY: Dict[str, type] = {
     "nn.Upsample": Upsample,
     "MaxPool": MaxPool,
     "Detect": Detect,
+    "Segment": Segment,
+    "Pose": Pose,
+    "OBB": OBB,
     "Classify": Classify,
     "ES_MOE": ES_MOE,
 }
@@ -62,7 +65,7 @@ MODULE_REGISTRY: Dict[str, type] = {
 REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f}
 BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify}
 MIXTURE_MODULES = {ES_MOE}
-HEAD_MODULES = {Detect}
+HEAD_MODULES = {Detect, Segment, Pose, OBB}
 
 
 class LayerSpec:
@@ -99,7 +102,9 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
         if mname not in MODULE_REGISTRY:
             raise KeyError(f"unknown module '{mname}' in model yaml")
         m = MODULE_REGISTRY[mname]
-        args = [nc if a == "nc" else a for a in args]
+        args = [
+            nc if a == "nc" else cfg.get("kpt_shape", (17, 3)) if a == "kpt_shape" else a for a in args
+        ]
         n = max(round(n * depth), 1) if n > 1 else n
 
         if m in BASE_MODULES:
@@ -128,7 +133,9 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
             args = []
         elif m in HEAD_MODULES:
             ch_list = [channels[x] for x in f]
-            args = [args[0], reg_max, end2end, ch_list]
+            if m is Segment:  # npr is width-scaled (reference tasks.py:2130)
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            args = [*args, reg_max, end2end, ch_list]
             kwargs = {"legacy": legacy}
             c2 = None
         elif m is Upsample:
@@ -271,6 +278,133 @@ class ClassificationModel(BaseModel):
 
     task = "classify"
 
+    def forward_train(self, p: Params, x: jnp.ndarray, ctx: Context) -> jnp.ndarray:
+        return self.forward_features(p, x, ctx)
+
     def forward_predict(self, p: Params, x: jnp.ndarray, ctx: Optional[Context] = None) -> jnp.ndarray:
         ctx = ctx or Context(training=False)
         return self.forward_features(p, x, ctx)
+
+
+class SegmentationModel(DetectionModel):
+    """Instance segmentation model (reference nn/tasks.py:694)."""
+
+    task = "segment"
+
+
+class PoseModel(DetectionModel):
+    """Pose/keypoint model (reference nn/tasks.py:799)."""
+
+    task = "pose"
+
+
+class OBBModel(DetectionModel):
+    """Oriented-box model (reference nn/tasks.py:661)."""
+
+    task = "obb"
+
+
+# ---------------------------------------------------------------------------
+# Task-specific loss dispatch (the init_criterion analog, reference
+# nn/tasks.py DetectionModel.init_criterion / SegmentationModel / PoseModel /
+# OBBModel). Each returns (total_loss, metrics_dict).
+# ---------------------------------------------------------------------------
+
+def _det_loss(model, preds, batch, aux_total, hyp):
+    from .losses import composite_loss
+
+    lb = composite_loss(
+        preds,
+        preds["hw_shapes"],
+        model.head_strides,
+        batch["boxes"],
+        batch["classes"],
+        batch["mask"],
+        nc=model.nc,
+        aux_total=aux_total,
+        box_gain=hyp.get("box", 7.5),
+        cls_gain=hyp.get("cls", 0.5),
+        dfl_gain=hyp.get("dfl", 1.5),
+        moe_gain=hyp.get("moe", 0.01),
+        end2end=model.head.end2end,
+    )
+    return lb.total, {"loss": lb.total, "box_loss": lb.box, "cls_loss": lb.cls, "dfl_loss": lb.dfl, "aux_loss": lb.aux}
+
+
+DetectionModel.compute_loss = _det_loss
+
+
+def _seg_loss(model, preds, batch, aux_total, hyp):
+    from .losses import detection_loss, segmentation_loss
+
+    one2many = preds["one2many"]
+    hw = preds["hw_shapes"]
+    imgsz = (hw[0][0] * model.head_strides[0], hw[0][1] * model.head_strides[0])
+    lb, assign = detection_loss(
+        one2many, hw, model.head_strides, batch["boxes"], batch["classes"], batch["mask"],
+        nc=model.nc, box_gain=hyp.get("box", 7.5), cls_gain=hyp.get("cls", 0.5),
+        dfl_gain=hyp.get("dfl", 1.5), return_assign=True,
+    )
+    B = one2many["scores"].shape[0]
+    seg = segmentation_loss(one2many["mask_coefficient"], preds["proto"], batch["masks"], assign, imgsz)
+    seg = seg * hyp.get("box", 7.5) * B
+    aux = hyp.get("moe", 0.01) * aux_total
+    total = lb.total + seg + aux
+    return total, {"loss": total, "box_loss": lb.box, "cls_loss": lb.cls, "dfl_loss": lb.dfl,
+                   "seg_loss": seg, "aux_loss": aux}
+
+
+SegmentationModel.compute_loss = _seg_loss
+
+
+def _pose_loss(model, preds, batch, aux_total, hyp):
+    from ..ops.anchors import make_anchors
+    from .losses import detection_loss, pose_loss
+
+    one2many = preds["one2many"]
+    hw = preds["hw_shapes"]
+    lb, assign = detection_loss(
+        one2many, hw, model.head_strides, batch["boxes"], batch["classes"], batch["mask"],
+        nc=model.nc, box_gain=hyp.get("box", 7.5), cls_gain=hyp.get("cls", 0.5),
+        dfl_gain=hyp.get("dfl", 1.5), return_assign=True,
+    )
+    B = one2many["scores"].shape[0]
+    anchors, stride_t = make_anchors(hw, model.head_strides)
+    loc, obj = pose_loss(one2many["kpts"], batch["keypoints"], assign, anchors, stride_t, model.head.kpt_shape)
+    loc = loc * hyp.get("pose", 12.0) * B
+    obj = obj * hyp.get("kobj", 1.0) * B
+    aux = hyp.get("moe", 0.01) * aux_total
+    total = lb.total + loc + obj + aux
+    return total, {"loss": total, "box_loss": lb.box, "cls_loss": lb.cls, "dfl_loss": lb.dfl,
+                   "pose_loss": loc, "kobj_loss": obj, "aux_loss": aux}
+
+
+PoseModel.compute_loss = _pose_loss
+
+
+def _obb_loss(model, preds, batch, aux_total, hyp):
+    from .losses import obb_loss
+
+    lb = obb_loss(
+        preds["one2many"], preds["hw_shapes"], model.head_strides,
+        batch["rboxes"], batch["classes"], batch["mask"],
+        nc=model.nc, box_gain=hyp.get("box", 7.5), cls_gain=hyp.get("cls", 0.5), dfl_gain=hyp.get("dfl", 1.5),
+    )
+    aux = hyp.get("moe", 0.01) * aux_total
+    total = lb.total + aux
+    return total, {"loss": total, "box_loss": lb.box, "cls_loss": lb.cls, "dfl_loss": lb.dfl, "aux_loss": aux}
+
+
+OBBModel.compute_loss = _obb_loss
+
+
+def _cls_loss(model, preds, batch, aux_total, hyp):
+    from .losses import classification_loss
+
+    ce = classification_loss(preds, batch["classes"])
+    aux = hyp.get("moe", 0.01) * aux_total
+    total = ce + aux
+    return total, {"loss": total, "cls_loss": ce, "aux_loss": aux}
+
+
+ClassificationModel.compute_loss = _cls_loss
