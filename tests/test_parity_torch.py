@@ -221,3 +221,40 @@ def test_detection_loss_parity(pair):
     got_total = float(lb.total)
     assert np.allclose(ours, theirs, rtol=2e-4, atol=2e-4), f"{ours} vs {theirs}"
     assert np.isclose(got_total, float(tloss.sum()), rtol=2e-4), f"{got_total} vs {float(tloss.sum())}"
+
+
+def test_yolo26_master_parity(torch_reference):
+    """Full yolo26-master-n (A2C2fMoE + SPPF + C2PSA + attn-C3k2 + end2end
+    reg_max=1 head) eval parity against the torch reference."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as TorchModel
+
+    from yolo_master_tpu.nn.tasks import DetectionModel as JaxModel
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(1)
+    tm = TorchModel("/root/reference/ultralytics/cfg/models/26/yolo26-master-n.yaml", verbose=False)
+    tm.eval()
+    jm = JaxModel("yolo26-master-n")
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.3 + 0.5
+    # bypass the in-head top-k (tie ordering under random init is arbitrary);
+    # compare the raw decoded [B, A, 4+nc] tensors instead
+    tm.model[-1].postprocess = lambda p: p
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, tuple) else ty).numpy()  # [B, A, 4+nc]
+
+    from yolo_master_tpu.nn.module import Context
+
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    preds = jm.forward_train(params, jx, Context(training=False))
+    jy = np.asarray(jm.head.decode(preds))
+
+    assert ty.shape == jy.shape
+    assert np.abs(ty[..., :4] - jy[..., :4]).max() < 5e-3, "decoded box mismatch"
+    assert np.abs(ty[..., 4:] - jy[..., 4:]).max() < 1e-5, "decoded score mismatch"

@@ -268,16 +268,22 @@ class C2f(Module):
 
 
 class C3k2(C2f):
-    """C2f whose inner blocks are C3k (or Bottleneck) (reference block.py:1074-1111)."""
+    """C2f whose inner blocks are C3k / Bottleneck / Bottleneck+PSABlock
+    (reference block.py:1074-1111, incl. the attn variant)."""
 
-    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, g=1, shortcut=True):
+    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, attn=False, g=1, shortcut=True):
         super().__init__(c1, c2, n, shortcut, g, e)
-        self.m = ModuleList(
-            [
-                C3k(self.c, self.c, 2, shortcut, g) if c3k else Bottleneck(self.c, self.c, shortcut, g)
-                for _ in range(n)
-            ]
-        )
+        def inner():
+            if attn:
+                return ConvSeq(
+                    Bottleneck(self.c, self.c, shortcut, g),
+                    PSABlock(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1)),
+                )
+            if c3k:
+                return C3k(self.c, self.c, 2, shortcut, g)
+            return Bottleneck(self.c, self.c, shortcut, g)
+
+        self.m = ModuleList([inner() for _ in range(n)])
 
 
 class SPPF(Module):
@@ -550,3 +556,111 @@ class MaxPool(Module):
 
     def __call__(self, p, x, ctx):
         return max_pool(x, self.k, self.s, padding=0)
+
+
+def get_safe_groups(channels: int, groups: int = 8) -> int:
+    """Largest group count <= groups dividing channels (reference moe/experts.py)."""
+    g = min(groups, channels)
+    while g > 1 and channels % g:
+        g -= 1
+    return max(g, 1)
+
+
+class GroupNorm(Module):
+    """GroupNorm over NHWC channels — used by MoE experts for single-sample
+    stability after top-k routing (reference moe/experts.py:76-84)."""
+
+    def __init__(self, c: int, groups: int = 8, eps: float = 1e-5):
+        super().__init__()
+        self.c = c
+        self.groups = get_safe_groups(c, groups)
+        self.eps = eps
+
+    def init(self, key) -> Params:
+        return {"scale": jnp.ones((self.c,), jnp.float32), "bias": jnp.zeros((self.c,), jnp.float32)}
+
+    def __call__(self, p: Params, x, ctx: Context):
+        B = x.shape[0]
+        spatial = x.shape[1:-1]
+        g = self.groups
+        xf = x.astype(jnp.float32).reshape(B, -1, g, self.c // g)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 3), keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = xf.reshape(B, *spatial, self.c)
+        return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+class PlainConv(Module):
+    """Bare conv2d without norm/act (torch nn.Conv2d analog), optional bias."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, bias=False):
+        super().__init__()
+        self.c1, self.c2, self.k, self.s, self.g = c1, c2, k, s, g
+        self.p = autopad(k, p)
+        self.bias = bias
+
+    def init(self, key) -> Params:
+        from .module import conv_bias_uniform
+
+        k1, k2 = jax.random.split(key)
+        out = {"w": kaiming_uniform_conv(k1, (self.k, self.k, self.c1 // self.g, self.c2))}
+        if self.bias:
+            out["b"] = conv_bias_uniform(k2, self.k * self.k * self.c1 // self.g, self.c2)
+        return out
+
+    def __call__(self, p: Params, x, ctx: Context):
+        y = conv2d(x, p["w"], stride=self.s, padding=self.p, groups=self.g)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
+
+
+def avg_pool(x, k: int, stride: int = None):
+    s = stride or k
+    return lax.reduce_window(
+        x.astype(jnp.float32), 0.0, lax.add,
+        (1, k, k, 1), (1, s, s, 1), "VALID",
+    ).astype(x.dtype) / (k * k)
+
+
+class Linear(Module):
+    """Dense layer [..., in] -> [..., out] (torch nn.Linear analog)."""
+
+    def __init__(self, c1, c2, bias=True):
+        super().__init__()
+        self.c1, self.c2, self.has_bias = c1, c2, bias
+
+    def init(self, key) -> Params:
+        from .module import conv_bias_uniform
+
+        k1, k2 = jax.random.split(key)
+        bound = 1.0 / math.sqrt(self.c1)
+        out = {"w": jax.random.uniform(k1, (self.c1, self.c2), jnp.float32, -bound, bound)}
+        if self.has_bias:
+            out["b"] = conv_bias_uniform(k2, self.c1, self.c2)
+        return out
+
+    def __call__(self, p: Params, x, ctx: Context):
+        y = x @ p["w"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
+
+
+class LayerNorm(Module):
+    """LayerNorm over the last axis (torch nn.LayerNorm analog)."""
+
+    def __init__(self, c, eps=1e-5):
+        super().__init__()
+        self.c, self.eps = c, eps
+
+    def init(self, key) -> Params:
+        return {"scale": jnp.ones((self.c,), jnp.float32), "bias": jnp.zeros((self.c,), jnp.float32)}
+
+    def __call__(self, p: Params, x, ctx: Context):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.var(xf, -1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.eps)
+        return (y * p["scale"] + p["bias"]).astype(x.dtype)

@@ -100,8 +100,18 @@ def detection_loss(
     iou = bbox_iou(pred_bboxes, target_grid, xywh=False, CIoU=True)
     loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
 
-    target_ltrb = bbox2dist(anchors[None], target_grid, reg_max - 1)  # [B,A,4]
-    dl = dfl_loss(pred_dist.reshape(B, A, 4, reg_max), target_ltrb, reg_max)  # [B,A]
+    if reg_max > 1:
+        target_ltrb = bbox2dist(anchors[None], target_grid, reg_max - 1)  # [B,A,4]
+        dl = dfl_loss(pred_dist.reshape(B, A, 4, reg_max), target_ltrb, reg_max)  # [B,A]
+    else:
+        # DFL-free head (reg_max==1): normalized L1 on raw ltrb distances
+        # (reference BboxLoss else-branch, loss.py:150-162)
+        hw0 = hw_shapes[0]
+        imgsz = jnp.array([hw0[1] * strides[0], hw0[0] * strides[0]], jnp.float32)  # (W, H)
+        norm = jnp.array([imgsz[0], imgsz[1], imgsz[0], imgsz[1]], jnp.float32)[None, None, :]
+        target_ltrb = bbox2dist(anchors[None], target_grid) * stride_t[None] / norm
+        pred_n = pred_ltrb.astype(jnp.float32) * stride_t[None] / norm
+        dl = jnp.mean(jnp.abs(pred_n - target_ltrb), -1)
     loss_dfl = jnp.sum(dl * weight) / target_scores_sum
 
     loss_box = loss_box * box_gain * B

@@ -48,6 +48,9 @@ class Context:
 
     training: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    # global step (traced ok) — drives progressive sparsity / expert dropout /
+    # temperature schedules in routed modules (reference schedulers)
+    step: Any = 0
     aux: Dict[str, jnp.ndarray] = field(default_factory=dict)
     updates: Dict[str, Any] = field(default_factory=dict)
     stats: Dict[str, Any] = field(default_factory=dict)

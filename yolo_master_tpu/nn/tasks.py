@@ -35,6 +35,10 @@ from .layers import (
 )
 from .module import Context, Module, ModuleList, Params, apply_updates
 from .moe import ES_MOE
+from .moe.mixtures import A2C2fMoE, ABlockMoE, OptimizedMOEImproved
+from .moa import C2fMoA, MoABlock, NeckMoAFusion
+from .mot import C2fMoT, MoTBlock
+from .latent_mixture import LatentMixture, MultiScaleLatentMixture
 
 # Name -> class registry; the analog of parse_model's base set + the mixture
 # registry (reference nn/mixture_registry.py:40-64). "nn.Upsample" kept as an
@@ -60,11 +64,21 @@ MODULE_REGISTRY: Dict[str, type] = {
     "OBB": OBB,
     "Classify": Classify,
     "ES_MOE": ES_MOE,
+    "A2C2fMoE": A2C2fMoE,
+    "OptimizedMOEImproved": OptimizedMOEImproved,
+    "ModularRouterExpertMoE": OptimizedMOEImproved,
+    "C2fMoA": C2fMoA,
+    "MoABlock": MoABlock,
+    "NeckMoAFusion": NeckMoAFusion,
+    "C2fMoT": C2fMoT,
+    "MoTBlock": MoTBlock,
+    "LatentMixture": LatentMixture,
+    "MultiScaleLatentMixture": MultiScaleLatentMixture,
 }
 
-REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f}
+REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT}
 BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify}
-MIXTURE_MODULES = {ES_MOE}
+MIXTURE_MODULES = {ES_MOE, A2C2fMoE, OptimizedMOEImproved, C2fMoA, C2fMoT, MoABlock, MoTBlock}
 HEAD_MODULES = {Detect, Segment, Pose, OBB}
 
 
@@ -125,6 +139,17 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
                     args.extend((True, 1.2))
         elif m in MIXTURE_MODULES:
             c1, c2 = channels[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if m in REPEAT_MODULES:  # A2C2fMoE takes n like A2C2f
+                args.insert(2, n)
+                n = 1
+            if m is A2C2fMoE:
+                legacy = False
+        elif m in (LatentMixture, NeckMoAFusion):
+            c1 = [channels[x] for x in f]
+            c2 = args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]

@@ -70,6 +70,8 @@ def dfl_decode(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """
     import jax
 
+    if reg_max <= 1:  # DFL disabled (reference: DFL -> nn.Identity when reg_max==1)
+        return box_logits
     shape = box_logits.shape
     x = box_logits.reshape(*shape[:-1], 4, reg_max)
     x = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
