@@ -39,6 +39,17 @@ from .moe.mixtures import A2C2fMoE, ABlockMoE, OptimizedMOEImproved
 from .moa import C2fMoA, MoABlock, NeckMoAFusion
 from .mot import C2fMoT, MoTBlock
 from .latent_mixture import LatentMixture, MultiScaleLatentMixture
+from .moe.gated import (
+    AdaptiveGateMoE,
+    GatedFusionMoE,
+    HybridAdaptiveGateMoE,
+    HybridAdaptiveGateMoEv2,
+    LowRankHybridAdaptiveGateMoE,
+    OptimalHybridGateMoE,
+    RefinedLowRankHybridAdaptiveGateMoE,
+    ContextRefinedLowRankHybridAdaptiveGateMoE,
+    VisualEnhancedAdaptiveGateMoE,
+)
 
 # Name -> class registry; the analog of parse_model's base set + the mixture
 # registry (reference nn/mixture_registry.py:40-64). "nn.Upsample" kept as an
@@ -74,11 +85,26 @@ MODULE_REGISTRY: Dict[str, type] = {
     "MoTBlock": MoTBlock,
     "LatentMixture": LatentMixture,
     "MultiScaleLatentMixture": MultiScaleLatentMixture,
+    "AdaptiveGateMoE": AdaptiveGateMoE,
+    "HybridAdaptiveGateMoE": HybridAdaptiveGateMoE,
+    "HybridAdaptiveGateMoEv2": HybridAdaptiveGateMoEv2,
+    "LowRankHybridAdaptiveGateMoE": LowRankHybridAdaptiveGateMoE,
+    "RefinedLowRankHybridAdaptiveGateMoE": RefinedLowRankHybridAdaptiveGateMoE,
+    "ContextRefinedLowRankHybridAdaptiveGateMoE": ContextRefinedLowRankHybridAdaptiveGateMoE,
+    "VisualEnhancedAdaptiveGateMoE": VisualEnhancedAdaptiveGateMoE,
+    "OptimalHybridGateMoE": OptimalHybridGateMoE,
+    "GatedFusionMoE": GatedFusionMoE,
 }
 
 REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT}
 BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify}
-MIXTURE_MODULES = {ES_MOE, A2C2fMoE, OptimizedMOEImproved, C2fMoA, C2fMoT, MoABlock, MoTBlock}
+MIXTURE_MODULES = {
+    ES_MOE, A2C2fMoE, OptimizedMOEImproved, C2fMoA, C2fMoT, MoABlock, MoTBlock,
+    AdaptiveGateMoE, HybridAdaptiveGateMoE, HybridAdaptiveGateMoEv2,
+    LowRankHybridAdaptiveGateMoE, RefinedLowRankHybridAdaptiveGateMoE,
+    ContextRefinedLowRankHybridAdaptiveGateMoE, VisualEnhancedAdaptiveGateMoE,
+    OptimalHybridGateMoE, GatedFusionMoE,
+}
 HEAD_MODULES = {Detect, Segment, Pose, OBB}
 
 
