@@ -1,0 +1,135 @@
+"""MoE ecosystem gates: pruning surgery, schedulers, collapse detection,
+quantization, CW-NMS, Sparse SAHI (reference analogs: tests/test_moe.py,
+moe pruning/scheduler suites)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_master_tpu.nn.module import Context
+from yolo_master_tpu.nn.tasks import DetectionModel
+
+MINI = {
+    "nc": 2,
+    "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "ES_MOE", [32, 4, 8, 2]],  # c2, num_experts, reduction, top_k
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ],
+    "head": [[[3, 4, 5], 1, "Detect", ["nc"]]],
+}
+
+
+@pytest.fixture(scope="module")
+def mini_model():
+    m = DetectionModel(MINI)
+    return m, m.init_params(0)
+
+
+def test_prune_es_moe(mini_model):
+    from yolo_master_tpu.nn.moe.pruning import prune_moe_model
+
+    model, params = mini_model
+    moe_path = next(s.module.path for s in model.specs if s.type_name == "ES_MOE")
+    usage = {moe_path: np.array([0.5, 0.45, 0.04, 0.01])}
+    x = jnp.full((1, 64, 64, 3), 0.4)
+    before = model.forward_predict(params, x)
+    model, new_params = prune_moe_model(model, params, usage, threshold=0.15)
+    moe = next(s.module for s in model.specs if s.type_name == "ES_MOE")
+    assert moe.num_experts == 2
+    after = model.forward_predict(new_params, x)
+    assert after.shape == before.shape
+    assert bool(jnp.all(jnp.isfinite(after)))
+
+
+def test_gini_and_schedulers():
+    from yolo_master_tpu.nn.moe.scheduler import GiniBalanceScheduler, MapSaturationScheduler, compute_gini
+
+    assert compute_gini(np.array([0.25, 0.25, 0.25, 0.25])) < 0.01
+    assert compute_gini(np.array([1.0, 0.0, 0.0, 0.0])) > 0.7
+
+    g = GiniBalanceScheduler(base_gain=0.01)
+    up = g.update({"b": np.array([0.97, 0.01, 0.01, 0.01])})
+    assert up > 0.01
+    down = GiniBalanceScheduler(base_gain=0.01).update({"b": np.array([0.25, 0.25, 0.25, 0.25])})
+    assert down < 0.01
+
+    m = MapSaturationScheduler(base_gain=0.1, patience=2)
+    assert m.update(0.3) == 0.1  # improvement
+    m.update(0.3)
+    assert m.update(0.3) < 0.1  # plateau -> decay
+
+
+def test_collapse_detector_and_tracker():
+    from yolo_master_tpu.nn.moe.analysis import ExpertUsageTracker, RoutingCollapseDetector
+
+    t = ExpertUsageTracker()
+    t.update({"block_a": {"expert_usage": np.array([0.9, 0.05, 0.05])}})
+    t.update({"block_a": {"expert_usage": np.array([0.94, 0.03, 0.03])}})
+    mean = t.mean_usage()["block_a"]
+    assert abs(mean[0] - 0.92) < 1e-6
+    findings = RoutingCollapseDetector(max_share_threshold=0.9).check(t.mean_usage())
+    assert findings and findings[0]["block"] == "block_a"
+
+
+def test_router_aware_quantization(mini_model):
+    from yolo_master_tpu.nn.moe.quantize import dequantize_params, quantization_report, quantize_params
+
+    model, params = mini_model
+    q = quantize_params(params, min_size=128)
+    rep = quantization_report(params, q)
+    assert rep["quantized_tensors"] > 0
+    assert rep["ratio"] < 0.7
+
+    # router weights stay full precision
+    def routers_unquantized(node, path=()):
+        if isinstance(node, dict):
+            if "q" in node and "scale" in node:
+                assert not any(s in ("routing", "fc1", "fc2") for s in path), path
+                return
+            for k, v in node.items():
+                routers_unquantized(v, path + (k,))
+
+    routers_unquantized(q)
+
+    deq = dequantize_params(q)
+    x = jnp.full((1, 64, 64, 3), 0.4)
+    y0 = model.forward_predict(params, x)
+    y1 = model.forward_predict(deq, x)
+    # int8 weight quantization error stays moderate on scores
+    assert float(jnp.abs(y0[..., 4:] - y1[..., 4:]).max()) < 0.2
+
+
+def test_cw_nms_fuses_cluster():
+    from yolo_master_tpu.ops.nms import cluster_weighted_nms
+
+    pred = np.zeros((1, 8, 4 + 2), np.float32)
+    pred[0, 0, :4] = [100, 100, 50, 50]
+    pred[0, 0, 4] = 0.9
+    pred[0, 1, :4] = [104, 104, 50, 50]
+    pred[0, 1, 4] = 0.6
+    out = cluster_weighted_nms(jnp.asarray(pred), nc=2, conf_thres=0.25, iou_thres=0.45, max_det=4, max_nms=8)
+    assert int(out["valid"][0].sum()) == 1
+    box = np.asarray(out["boxes"][0, 0])
+    # fused box sits between the two members, closer to the stronger one
+    assert 75 < box[0] < 79
+
+
+def test_sparse_sahi_skips_blank_tiles(mini_model):
+    from yolo_master_tpu.engine.sahi import SparseSAHIPredictor, tile_grid
+
+    tiles = tile_grid(1280, 1920, 640, 0.2)
+    assert all(x + 640 <= 1920 and y + 640 <= 1280 for x, y in tiles)
+
+    model, params = mini_model
+    img = np.full((1280, 1920, 3), 114, np.uint8)
+    pred = SparseSAHIPredictor(model, params, imgsz=64, slice_size=640, objectness_threshold=0.9)
+    res = pred(img)
+    assert pred.last_stats["tiles"] == len(tiles)
+    assert pred.last_stats["skip_ratio"] == 1.0  # random model scores < 0.9 -> all skipped
+    assert res.orig_shape == (1280, 1920)

@@ -79,6 +79,7 @@ class ES_MOE(Module):
         self.use_top_k = top_k is not None
         self.use_sparse_inference = use_sparse_inference
         self.dynamic_threshold = dynamic_threshold
+        self.max_kernel_size = max_kernel_size
         self.balance_loss_coeff = 1.0
 
         self.routing = DynamicRoutingLayer(in_channels, num_experts, reduction, top_k)

@@ -154,3 +154,85 @@ def non_max_suppression(
         class_mask=class_mask,
     )
     return jax.vmap(fn)(prediction)
+
+
+def _greedy_cw_nms(boxes, scores, iou_thres, max_det, sigma=0.1, weighted_iou=True):
+    """Cluster-Weighted NMS: greedy cluster formation + Gaussian-weighted box
+    fusion instead of hard suppression (reference README.md:338-364; config
+    flags `cluster`/`weighted`, cfg/default.yaml:140-141).
+
+    At each greedy step the highest-scored candidate seeds a cluster of all
+    unsuppressed boxes with IoU > threshold; the output box is the weighted
+    average with weights w_i = score_i * exp(-(1 - iou_i)^2 / sigma)
+    (Gaussian in IoU distance). `weighted_iou=False` degrades to plain
+    score-weighted fusion (the `weighted` flag).
+
+    Returns fused boxes [max_det, 4], scores [max_det], seed idx, valid mask.
+    """
+    n = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+
+    def step(alive_scores, _):
+        idx = jnp.argmax(alive_scores)
+        best = alive_scores[idx]
+        valid = best > 0.0
+        bx1, by1, bx2, by2 = x1[idx], y1[idx], x2[idx], y2[idx]
+        iw = jnp.clip(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0, None)
+        ih = jnp.clip(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0, None)
+        inter = iw * ih
+        iou = inter / (areas + areas[idx] - inter + 1e-7)
+        member = ((iou > iou_thres) | (jnp.arange(n) == idx)) & (alive_scores > 0.0)
+        if weighted_iou:
+            w = alive_scores * jnp.exp(-((1.0 - iou) ** 2) / sigma) * member
+        else:
+            w = alive_scores * iou * member
+        denom = jnp.clip(jnp.sum(w), 1e-9, None)
+        fused = jnp.sum(boxes * w[:, None], 0) / denom
+        alive_scores = jnp.where(valid & member, 0.0, alive_scores)
+        return alive_scores, (fused, best, idx.astype(jnp.int32), valid)
+
+    _, (fused_boxes, fused_scores, seed_idx, keep_valid) = jax.lax.scan(step, scores, None, length=max_det)
+    return fused_boxes, fused_scores, seed_idx, keep_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nc", "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "sigma", "weighted_iou"),
+)
+def cluster_weighted_nms(
+    prediction: jnp.ndarray,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 2048,
+    agnostic: bool = False,
+    sigma: float = 0.1,
+    weighted_iou: bool = True,
+):
+    """Batched CW-NMS over decoded predictions [B, A, 4+nc] (xywh boxes)."""
+
+    def single(pred):
+        boxes = xywh2xyxy(pred[:, :4])
+        cls_scores = pred[:, 4 : 4 + nc]
+        conf = jnp.max(cls_scores, axis=-1)
+        k = min(max_nms, pred.shape[0])
+        scores, anchor_idx = jax.lax.top_k(conf, k)
+        cls_idx = jnp.argmax(cls_scores[anchor_idx], axis=-1).astype(jnp.float32)
+        cboxes = boxes[anchor_idx]
+        scores = jnp.where(scores > conf_thres, scores, 0.0)
+        offset = 0.0 if agnostic else cls_idx[:, None] * MAX_WH
+        fused, fscores, seed, valid = _greedy_cw_nms(
+            cboxes + offset, scores.astype(jnp.float32), iou_thres, max_det, sigma, weighted_iou
+        )
+        out_cls = jnp.where(valid, cls_idx[seed], -1.0)
+        fused = fused - (0.0 if agnostic else out_cls[:, None] * MAX_WH) * valid[:, None]
+        return {
+            "boxes": fused * valid[:, None],
+            "scores": fscores * valid,
+            "classes": out_cls,
+            "valid": valid,
+        }
+
+    return jax.vmap(single)(prediction)
