@@ -1,0 +1,95 @@
+"""Export round-trips + CLI parsing gates (reference analogs: tests/test_exports.py,
+test_export_roundtrip.py, test_cli.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+MINI = {
+    "nc": 2,
+    "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "ES_MOE", [32]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ],
+    "head": [[[3, 4, 5], 1, "Detect", ["nc"]]],
+}
+
+
+@pytest.fixture(scope="module")
+def mini():
+    from yolo_master_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel(MINI)
+    return m, m.init_params(0)
+
+
+def test_export_npz(mini, tmp_path):
+    from yolo_master_tpu.engine.exporter import export_model
+
+    m, p = mini
+    path = export_model(m, p, "npz", imgsz=64, output=str(tmp_path / "w.npz"))
+    assert os.path.getsize(path) > 1000
+
+
+def test_export_stablehlo_roundtrip(mini, tmp_path):
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.engine.exporter import export_model, load_stablehlo
+    from yolo_master_tpu.nn.module import Context
+
+    m, p = mini
+    path = export_model(m, p, "stablehlo", imgsz=64, output=str(tmp_path / "m.stablehlo"), nms=False)
+    fn = load_stablehlo(path)
+    x = jnp.full((1, 64, 64, 3), 0.4)
+    y = np.asarray(fn(x))
+    ref = np.asarray(m.forward_predict(p, x, Context(training=False)))
+    assert np.allclose(y, ref, atol=1e-5), "stablehlo round-trip mismatch"
+
+
+@pytest.mark.slow
+def test_export_saved_model_and_tflite(mini, tmp_path):
+    import tensorflow as tf
+
+    from yolo_master_tpu.engine.exporter import export_model
+
+    m, p = mini
+    sm = export_model(m, p, "saved_model", imgsz=64, output=str(tmp_path / "sm"))
+    loaded = tf.saved_model.load(sm)
+    out = loaded.signatures["serving_default"](images=tf.constant(np.full((1, 64, 64, 3), 0.4, np.float32)))
+    assert list(out.values())[0].shape == (1, 300, 6)
+
+    tl = export_model(m, p, "tflite", imgsz=64, output=str(tmp_path / "m.tflite"))
+    interp = tf.lite.Interpreter(model_path=tl)
+    interp.allocate_tensors()
+    interp.set_tensor(interp.get_input_details()[0]["index"], np.full((1, 64, 64, 3), 0.4, np.float32))
+    interp.invoke()
+    assert interp.get_tensor(interp.get_output_details()[0]["index"]).shape == (1, 300, 6)
+
+
+def test_export_unavailable_format_raises(mini):
+    from yolo_master_tpu.engine.exporter import export_model
+
+    m, p = mini
+    with pytest.raises(RuntimeError, match="onnx"):
+        export_model(m, p, "onnx")
+    with pytest.raises(ValueError, match="unknown format"):
+        export_model(m, p, "coreml-like-bogus")
+
+
+def test_cli_parsing():
+    from yolo_master_tpu.cfg.cli import parse_args
+
+    cfg = parse_args(["detect", "train", "epochs=5", "batch=4", "lr0=0.02", "cluster=true"])
+    assert cfg["task"] == "detect" and cfg["mode"] == "train"
+    assert cfg["epochs"] == 5 and cfg["batch"] == 4
+    assert cfg["lr0"] == 0.02 and cfg["cluster"] is True
+
+    with pytest.raises(SystemExit, match="did you mean 'model'"):
+        parse_args(["modell=x"])
+    with pytest.raises(SystemExit, match="unknown positional"):
+        parse_args(["detekt"])

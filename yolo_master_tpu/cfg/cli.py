@@ -1,0 +1,123 @@
+"""CLI entrypoint: ``yolo-tpu TASK MODE key=value ...``
+(reference: ultralytics/cfg/__init__.py:58-59,1137 entrypoint).
+
+Examples:
+    yolo-tpu detect predict model=yolo-master-n source=img.jpg conf=0.3
+    yolo-tpu detect train model=yolo-master-n data=coco8.yaml epochs=50
+    yolo-tpu detect val model=yolo-master-n data=coco8.yaml
+    yolo-tpu detect export model=yolo-master-n format=saved_model
+"""
+
+from __future__ import annotations
+
+import difflib
+import sys
+from typing import Any, Dict
+
+from ..utils import LOGGER
+from . import get_default_cfg
+
+TASKS = ("detect", "segment", "classify", "pose", "obb")
+MODES = ("train", "val", "predict", "export", "track", "benchmark")
+
+INT_KEYS = {"epochs", "patience", "batch", "imgsz", "seed", "workers", "max_det", "max_nms", "max_gt",
+            "save_period", "slice_size", "lora_r", "molora_experts", "molora_top_k", "track_buffer", "close_mosaic"}
+FLOAT_KEYS = {"lr0", "lrf", "momentum", "weight_decay", "warmup_epochs", "box", "cls", "dfl", "pose", "kobj",
+              "conf", "iou", "sigma", "overlap_ratio", "objectness_threshold", "moe_gain", "fraction",
+              "hsv_h", "hsv_s", "hsv_v", "fliplr", "flipud", "mosaic", "mixup", "scale", "translate",
+              "lora_alpha", "lora_dropout", "track_high_thresh", "track_low_thresh", "new_track_thresh", "match_thresh"}
+BOOL_KEYS = {"save", "val", "resume", "amp", "cos_lr", "half", "agnostic_nms", "augment", "retina_masks",
+             "cluster", "weighted", "sparse_sahi", "int8", "nms", "dynamic", "lora", "molora"}
+
+
+def parse_value(key: str, value: str) -> Any:
+    if key in BOOL_KEYS:
+        return value.lower() in ("1", "true", "yes")
+    if key in INT_KEYS:
+        return int(float(value))
+    if key in FLOAT_KEYS:
+        return float(value)
+    if value.lower() in ("none", "null", ""):
+        return None
+    return value
+
+
+def parse_args(argv) -> Dict[str, Any]:
+    cfg = get_default_cfg()
+    positional = []
+    for arg in argv:
+        if "=" in arg:
+            key, value = arg.split("=", 1)
+            if key not in cfg:
+                hint = difflib.get_close_matches(key, cfg.keys(), n=1)
+                raise SystemExit(f"unknown arg '{key}'" + (f" — did you mean '{hint[0]}'?" if hint else ""))
+            cfg[key] = parse_value(key, value)
+        else:
+            positional.append(arg)
+    for pos in positional:
+        if pos in TASKS:
+            cfg["task"] = pos
+        elif pos in MODES:
+            cfg["mode"] = pos
+        else:
+            raise SystemExit(f"unknown positional arg '{pos}' (tasks: {TASKS}, modes: {MODES})")
+    return cfg
+
+
+def entrypoint(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(__doc__)
+        return 0
+    cfg = parse_args(argv)
+    task, mode = cfg["task"], cfg["mode"]
+
+    from ..models.yolo import YOLO
+
+    model_name = cfg.get("model") or "yolo-master-n"
+    yolo = YOLO(model_name, task="classify" if task == "classify" else "detect" if task == "detect" else task)
+    if str(model_name).endswith(".npz"):
+        raise SystemExit("pass the architecture via model= and weights via weights=")
+
+    if mode == "predict":
+        if not cfg.get("source"):
+            raise SystemExit("predict requires source=...")
+        results = yolo.predict(
+            cfg["source"],
+            conf=cfg.get("conf") or 0.25,
+            iou=0.45 if cfg.get("iou") is None else cfg["iou"],
+            imgsz=cfg["imgsz"],
+            max_det=cfg["max_det"],
+        )
+        for r in results:
+            LOGGER.info(f"{r.path}: {len(r)} dets  {[s['name'] for s in r.summary()]}")
+        return 0
+    if mode == "train":
+        if not cfg.get("data"):
+            raise SystemExit("train requires data=...")
+        out = yolo.train(
+            data=cfg["data"], epochs=cfg["epochs"], batch=cfg["batch"], imgsz=cfg["imgsz"],
+            lr0=cfg["lr0"], lrf=cfg["lrf"], momentum=cfg["momentum"], weight_decay=cfg["weight_decay"],
+            warmup_epochs=cfg["warmup_epochs"], patience=cfg["patience"], max_gt=cfg["max_gt"],
+            save_dir=f"runs/{task}/{cfg.get('name') or 'train'}", val=cfg["val"], seed=cfg["seed"],
+        )
+        LOGGER.info(f"training done: {out}")
+        return 0
+    if mode == "val":
+        if not cfg.get("data"):
+            raise SystemExit("val requires data=...")
+        out = yolo.val(data=cfg["data"], imgsz=cfg["imgsz"], batch=cfg["batch"],
+                       conf=cfg.get("conf") or 0.001, iou=cfg["iou"], max_det=cfg["max_det"])
+        LOGGER.info(f"{out}")
+        return 0
+    if mode == "export":
+        from ..engine.exporter import export_model
+
+        out = export_model(yolo.model, yolo.params, fmt=cfg["format"], imgsz=cfg["imgsz"], int8=cfg["int8"], nms=cfg["nms"])
+        LOGGER.info(f"exported: {out}")
+        return 0
+    raise SystemExit(f"mode '{mode}' not implemented yet")
+
+
+if __name__ == "__main__":
+    raise SystemExit(entrypoint())
