@@ -1,0 +1,99 @@
+"""LoRA/MoLoRA gates: planning, merge math, adapter-only gradients, IO
+(reference analogs: utils/lora tests + molora suites)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_master_tpu.nn.module import Context
+from yolo_master_tpu.nn.tasks import DetectionModel
+from yolo_master_tpu.peft import (
+    LoRAConfig,
+    MoLoRAConfig,
+    init_lora,
+    init_molora,
+    load_adapters,
+    lora_param_count,
+    merge_lora,
+    merge_molora,
+    plan_lora_targets,
+    save_adapters,
+)
+
+MINI = {
+    "nc": 2,
+    "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "ES_MOE", [32]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ],
+    "head": [[[3, 4, 5], 1, "Detect", ["nc"]]],
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = DetectionModel(MINI)
+    p = m.init_params(0)
+    cfg = LoRAConfig(r=4, alpha=8)
+    adapters = init_lora(p, cfg)
+    return m, p, cfg, adapters
+
+
+def test_planner_refuses_norm_and_depthwise(setup):
+    m, p, cfg, adapters = setup
+    assert len(adapters) > 0
+    for path in adapters:
+        assert "bn" not in path and "depthwise" not in path and "norm" not in path
+
+
+def test_zero_init_is_identity(setup):
+    m, p, cfg, adapters = setup
+    merged = merge_lora(p, adapters, cfg.scale, train=False)
+    x = jnp.full((1, 64, 64, 3), 0.4)
+    y0 = m.forward_predict(p, x)
+    y1 = m.forward_predict(merged, x)
+    assert float(jnp.abs(y0 - y1).max()) < 1e-6, "B=0 init must be a no-op"
+
+
+def test_adapter_only_gradients(setup):
+    m, p, cfg, adapters = setup
+
+    def loss_fn(ad):
+        merged = merge_lora(p, ad, cfg.scale, train=True)
+        y = m.forward_predict(merged, jnp.full((1, 64, 64, 3), 0.4))
+        return jnp.sum(y[..., 4:] ** 2)
+
+    grads = jax.grad(loss_fn)(adapters)
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0, "gradients must reach adapters through the merge"
+    # adapters are a tiny fraction of the model
+    total = sum(x.size for x in jax.tree_util.tree_leaves(p))
+    assert lora_param_count(adapters) < total * 0.25
+
+
+def test_adapter_save_load_roundtrip(setup, tmp_path):
+    m, p, cfg, adapters = setup
+    path = str(tmp_path / "adapters.npz")
+    save_adapters(adapters, path)
+    loaded = load_adapters(path)
+    assert set(loaded) == set(adapters)
+    for k in adapters:
+        assert jnp.allclose(loaded[k]["A"], adapters[k]["A"])
+
+
+def test_molora_merge_and_aux(setup):
+    m, p, _, _ = setup
+    cfg = MoLoRAConfig(r=4, alpha=8, num_experts=4, top_k=2)
+    adapters = init_molora(p, cfg)
+    merged, aux = merge_molora(p, adapters, cfg, train=False)
+    x = jnp.full((1, 64, 64, 3), 0.4)
+    y0 = m.forward_predict(p, x)
+    y1 = m.forward_predict(merged, x)
+    assert float(jnp.abs(y0 - y1).max()) < 1e-6  # B=0 -> identity
+    assert float(aux) >= 0

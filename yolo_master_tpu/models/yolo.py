@@ -68,6 +68,32 @@ class YOLO:
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 
+    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs):
+        """Frame-sequence tracking: predict per frame then associate
+        (reference trackers/track.py predictor callbacks)."""
+        from ..trackers import TRACKER_MAP
+
+        if not persist or not hasattr(self, "_tracker") or self._tracker is None:
+            self._tracker = TRACKER_MAP[tracker](
+                track_high_thresh=kwargs.pop("track_high_thresh", 0.45),
+                track_low_thresh=kwargs.pop("track_low_thresh", 0.1),
+                new_track_thresh=kwargs.pop("new_track_thresh", 0.6),
+                track_buffer=kwargs.pop("track_buffer", 30),
+                match_thresh=kwargs.pop("match_thresh", 0.8),
+            )
+        from ..trackers.bot_sort import BOTSORT
+
+        results = self.predict(source, **kwargs)
+        for r in results:
+            if r.boxes is None or len(r.boxes) == 0:
+                r.tracks = np.zeros((0, 7), np.float32)
+                continue
+            if isinstance(self._tracker, BOTSORT):
+                r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, img=r.orig_img)
+            else:
+                r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls)
+        return results
+
     # -- training / validation (engine milestones) -------------------------------
     def train(self, **kwargs):
         from ..engine.trainer import DetectionTrainer
