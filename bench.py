@@ -20,7 +20,10 @@ def main():
     from yolo_master_tpu.ops.nms import non_max_suppression
 
     model = DetectionModel("yolo-master-n")
-    params = jax.device_put(model.init_params(0))
+    # bf16 trunk (MXU-native), fp32 decode+NMS (Detect.decode upcasts)
+    params = jax.device_put(
+        jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), model.init_params(0))
+    )
 
     @jax.jit
     def e2e(p, x):
@@ -29,7 +32,7 @@ def main():
             decoded, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=2048
         )
 
-    x = jnp.full((1, 640, 640, 3), 0.5, jnp.float32)
+    x = jnp.full((1, 640, 640, 3), 0.5, jnp.bfloat16)
     jax.block_until_ready(e2e(params, x))  # compile
 
     times = []

@@ -140,10 +140,12 @@ class Detect(Module):
         branch = preds["one2one"] if self.end2end else preds["one2many"]
         hw_shapes = hw_shapes or preds["hw_shapes"]
         anchors, strides = make_anchors(hw_shapes, self.strides)
-        dist = dfl_decode(branch["boxes"], self.reg_max)  # [B, A, 4]
+        # decode in fp32 regardless of trunk dtype: box coords at 640 scale
+        # exceed bf16 mantissa resolution, and NMS IoU needs fp32 anyway
+        dist = dfl_decode(branch["boxes"].astype(jnp.float32), self.reg_max)  # [B, A, 4]
         xywh = not self.end2end and not self.xyxy
         dbox = dist2bbox(dist, anchors[None], xywh=xywh) * strides[None]
-        return jnp.concatenate([dbox, jax.nn.sigmoid(branch["scores"].astype(jnp.float32)).astype(dbox.dtype)], -1)
+        return jnp.concatenate([dbox, jax.nn.sigmoid(branch["scores"].astype(jnp.float32))], -1)
 
     def postprocess_end2end(self, decoded: jnp.ndarray, max_det: int = 300) -> jnp.ndarray:
         """In-graph top-k for NMS-free end2end mode (reference head.py:216-262).
