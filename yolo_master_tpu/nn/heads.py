@@ -398,3 +398,34 @@ class OBB(Detect):
         rbox = dist2rbox(dist, branch["angle"].astype(dist.dtype), anchors[None]) * strides[None]
         scores = jax.nn.sigmoid(branch["scores"].astype(jnp.float32)).astype(rbox.dtype)
         return jnp.concatenate([rbox, scores, branch["angle"].astype(rbox.dtype)], -1)
+
+
+class SemanticSegment(Module):
+    """Per-pixel semantic segmentation head (reference head.py:1815-1900):
+    classifier on P3 + auxiliary P4 head for deep supervision; inference
+    returns P3-resolution logits (bilinear upsample at export)."""
+
+    def __init__(self, nc: int = 19, ch: Sequence[int] = ()):
+        super().__init__()
+        self.nc = nc
+        self.nl = len(ch)
+        c_mid = ch[0]
+        self.classifier = ConvSeq(Conv(c_mid, c_mid, 3), _head_out(c_mid, nc))
+        self.aux_head = ConvSeq(Conv(ch[1], c_mid, 3), _head_out(c_mid, nc)) if len(ch) > 1 else None
+        self.strides = (8, 16)
+
+    def set_strides(self, strides):
+        self.strides = tuple(strides)
+
+    def __call__(self, p: Params, feats, ctx: Context):
+        logits = self.classifier(p["classifier"], feats[0], ctx)  # [B, H/8, W/8, nc]
+        out = {"logits": logits, "hw_shapes": tuple((f.shape[1], f.shape[2]) for f in feats)}
+        if ctx.training and self.aux_head is not None:
+            out["aux_logits"] = self.aux_head(p["aux_head"], feats[1], ctx)
+        return out
+
+    def decode(self, preds, hw_shapes=None):
+        """Upsample logits to input resolution (bilinear, like export)."""
+        logits = preds["logits"]
+        B, H, W, C = logits.shape
+        return jax.image.resize(logits, (B, H * 8, W * 8, C), method="bilinear")

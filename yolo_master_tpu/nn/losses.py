@@ -336,3 +336,34 @@ def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray
     """Cross-entropy (reference v8ClassificationLoss, loss.py:985-995)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], -1))
+
+
+def bce_dice_loss(pred_logits: jnp.ndarray, target: jnp.ndarray, weight_bce=0.5, weight_dice=0.5, smooth=1.0):
+    """Combined BCE + multi-channel Dice (reference utils/loss.py:269-325).
+    pred_logits, target: [B, H, W, C] (target one-hot/soft)."""
+    bce = jnp.mean(bce_with_logits(pred_logits, target))
+    probs = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
+    inter = jnp.sum(probs * target, axis=(1, 2))
+    union = jnp.sum(probs, axis=(1, 2)) + jnp.sum(target, axis=(1, 2))
+    dice = (2 * inter + smooth) / (union + smooth)
+    dice_loss = jnp.mean(1.0 - dice)
+    return weight_bce * bce + weight_dice * dice_loss
+
+
+def semantic_loss(preds: Dict, sem_target: jnp.ndarray, nc: int, aux_weight: float = 0.4):
+    """Semantic segmentation loss: BCE-Dice on main logits + P4 aux head
+    (reference v8SegmentationLoss semantic branch + SemanticSegment training).
+    sem_target: [B, H, W] int class map (downsampled to logit resolution)."""
+    logits = preds["logits"]  # [B, h, w, nc]
+    h, w = logits.shape[1:3]
+    # nearest-downsample target to logit resolution
+    t = sem_target[:, :: sem_target.shape[1] // h, :: sem_target.shape[2] // w]
+    t = t[:, :h, :w]
+    onehot = jax.nn.one_hot(t, nc, dtype=jnp.float32)
+    total = bce_dice_loss(logits, onehot)
+    if "aux_logits" in preds:
+        aux_logits = preds["aux_logits"]
+        ha, wa = aux_logits.shape[1:3]
+        ta = sem_target[:, :: sem_target.shape[1] // ha, :: sem_target.shape[2] // wa][:, :ha, :wa]
+        total = total + aux_weight * bce_dice_loss(aux_logits, jax.nn.one_hot(ta, nc, dtype=jnp.float32))
+    return total

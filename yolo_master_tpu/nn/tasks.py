@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, find_model_yaml, guess_scale, make_divisible, yaml_load
-from .heads import OBB, Classify, Detect, Pose, Segment
+from .heads import OBB, Classify, Detect, Pose, Segment, SemanticSegment
 from .layers import (
     A2C2f,
     Bottleneck,
@@ -74,6 +74,7 @@ MODULE_REGISTRY: Dict[str, type] = {
     "Pose": Pose,
     "OBB": OBB,
     "Classify": Classify,
+    "SemanticSegment": SemanticSegment,
     "ES_MOE": ES_MOE,
     "A2C2fMoE": A2C2fMoE,
     "OptimizedMOEImproved": OptimizedMOEImproved,
@@ -179,6 +180,9 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
+        elif m is SemanticSegment:
+            args = [args[0], [channels[x] for x in f]]  # nc, ch list (reference tasks.py:2135)
+            c2 = None
         elif m is Concat:
             c2 = sum(channels[x] for x in f)
             args = []
@@ -260,6 +264,26 @@ class BaseModel(Module):
             if spec.i in self.save:
                 saved[spec.i] = y
         return y
+
+    def forward_features_with_taps(self, p: Params, x: jnp.ndarray, ctx: Context, tap_indices):
+        """Graph walk that additionally returns features at tap_indices
+        (the functional FeatureHook analog, reference nn/distill_model.py:33)."""
+        taps = {}
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        lp = p["layers"]
+        for spec in self.specs:
+            f = spec.f
+            if f != -1:
+                inp = (y if f == -1 else saved[f]) if isinstance(f, int) else [y if j == -1 else saved[j] for j in f]
+            else:
+                inp = y
+            y = spec.module(lp[str(spec.i)], inp, ctx)
+            if spec.i in self.save:
+                saved[spec.i] = y
+            if spec.i in tap_indices:
+                taps[spec.i] = y
+        return y, taps
 
     def init_params(self, seed: int = 0) -> Params:
         return self.init(jax.random.PRNGKey(seed))
@@ -459,3 +483,37 @@ def _cls_loss(model, preds, batch, aux_total, hyp):
 
 
 ClassificationModel.compute_loss = _cls_loss
+
+
+class SemanticSegmentationModel(BaseModel):
+    """Per-pixel semantic segmentation (reference nn/tasks.py:727) — a
+    YOLO-Master addition (SURVEY.md §2.11)."""
+
+    task = "semantic"
+
+    def _post_build(self):
+        head = self.specs[-1].module
+        assert isinstance(head, SemanticSegment)
+        object.__setattr__(self, "head", head)
+        self.head_strides = (8, 16)
+        head.set_strides(self.head_strides)
+
+    def forward_train(self, p: Params, x: jnp.ndarray, ctx: Context) -> dict:
+        return self.forward_features(p, x, ctx)
+
+    def forward_predict(self, p: Params, x: jnp.ndarray, ctx: Optional[Context] = None) -> jnp.ndarray:
+        ctx = ctx or Context(training=False)
+        preds = self.forward_features(p, x, ctx)
+        return self.head.decode(preds)
+
+
+def _semantic_loss(model, preds, batch, aux_total, hyp):
+    from .losses import semantic_loss
+
+    seg = semantic_loss(preds, batch["sem_mask"], model.nc)
+    aux = hyp.get("moe", 0.01) * aux_total
+    total = seg * hyp.get("box", 7.5) + aux
+    return total, {"loss": total, "seg_loss": seg, "aux_loss": aux}
+
+
+SemanticSegmentationModel.compute_loss = _semantic_loss
