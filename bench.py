@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: YOLO-Master-N end-to-end (forward + decode + NMS) p50 latency on
-one TPU chip @640x640, the BASELINE.json north-star metric.
+"""Benchmark: YOLO-Master-N end-to-end (forward + decode + Pallas NMS) device
+latency on one TPU chip @640x640, the BASELINE.json north-star metric.
+
+Methodology: the axon relay acknowledges dispatches asynchronously, so
+per-call host timing under-reports. We time K chained iterations inside ONE
+jit (each iteration's input depends on the previous output, forcing serial
+device execution) with a scalar host transfer at the end:
+    device_latency = (T(K) - T(1)) / (K - 1)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = reference latency (1.62 ms, README.md:46 TensorRT-class rig)
-divided by ours — >1.0 means faster than the reference's published number.
+divided by ours — >1.0 is faster than the reference's published number.
 """
 
 import json
@@ -20,37 +26,51 @@ def main():
     from yolo_master_tpu.ops.nms import non_max_suppression
 
     model = DetectionModel("yolo-master-n")
-    # bf16 trunk (MXU-native), fp32 decode+NMS (Detect.decode upcasts)
     params = jax.device_put(
         jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), model.init_params(0))
     )
 
-    @jax.jit
-    def e2e(p, x):
-        decoded = model.forward_predict(p, x, Context(training=False))
-        return non_max_suppression(
-            decoded, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=2048
-        )
+    def make_chained(reps):
+        @jax.jit
+        def run(p, x0):
+            def body(i, carry):
+                x, acc = carry
+                preds = model.forward_train(p, x, Context(training=False))
+                decoded = model.head.decode(preds, raw_scores=True)
+                det = non_max_suppression(
+                    decoded, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=2048, scores_are_logits=True
+                )
+                s = det["scores"].sum()
+                return x0 + (s * 1e-9).astype(jnp.bfloat16), acc + s
 
-    x = jnp.full((1, 640, 640, 3), 0.5, jnp.bfloat16)
-    jax.block_until_ready(e2e(params, x))  # compile
+            return jax.lax.fori_loop(0, reps, body, (x0, jnp.zeros((), jnp.float32)))[1]
 
-    times = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        jax.block_until_ready(e2e(params, x))
-        times.append((time.perf_counter() - t0) * 1e3)
-    times.sort()
-    p50 = times[len(times) // 2]
+        return run
+
+    x0 = jnp.full((1, 640, 640, 3), 0.5, jnp.bfloat16)
+
+    def timed(run, n=7):
+        float(run(params, x0))  # compile + warm
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(run(params, x0))  # scalar transfer = real sync
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    t1 = timed(make_chained(1))
+    t41 = timed(make_chained(41))
+    per_iter = (t41 - t1) / 40
 
     baseline_ms = 1.62  # reference YOLO-Master-N published latency
     print(
         json.dumps(
             {
-                "metric": "yolo-master-n e2e p50 latency @640 bs=1 (fwd+decode+NMS, 1 chip)",
-                "value": round(p50, 4),
+                "metric": "yolo-master-n e2e device latency @640 bs=1 (bf16 fwd+decode+pallas NMS, 1 chip, chained-iteration timing)",
+                "value": round(per_iter, 4),
                 "unit": "ms",
-                "vs_baseline": round(baseline_ms / p50, 4),
+                "vs_baseline": round(baseline_ms / per_iter, 4),
             }
         )
     )

@@ -1,0 +1,39 @@
+"""Pallas kernel gates (interpret mode on CPU; real TPU runs exercised by
+bench.py and the verify drives)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_nms_matches_scan_interpret():
+    from yolo_master_tpu.ops.nms import _greedy_nms
+    from yolo_master_tpu.ops.pallas_nms import pallas_greedy_nms
+
+    rng = np.random.default_rng(3)
+    n = 256
+    xy = rng.uniform(0, 600, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0.01, 1.0, n), jnp.float32)
+    ki_p, kv_p = pallas_greedy_nms(boxes, scores, 0.45, 64, interpret=True)
+    ki_s, kv_s = _greedy_nms(boxes, scores, 0.45, 64)
+    kept_p = np.asarray(ki_p)[np.asarray(kv_p)]
+    kept_s = np.asarray(ki_s)[np.asarray(kv_s)]
+    assert np.array_equal(kept_p, kept_s)
+
+
+def test_gathered_expert_matmul_interpret():
+    from yolo_master_tpu.ops.pallas_moe import dense_expert_matmul, gathered_expert_matmul
+
+    rng = np.random.default_rng(0)
+    B, N, C, O, E, K = 2, 128, 32, 64, 8, 2
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((E, C, O)) * 0.05, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, (B, K)), jnp.int32)
+    wts = jnp.asarray(rng.uniform(0.2, 0.8, (B, K)), jnp.float32)
+    out_p = gathered_expert_matmul(x, w, idx, wts, tile_n=64, interpret=True)
+    out_d = dense_expert_matmul(x, w, idx, wts)
+    assert float(jnp.abs(out_p - out_d).max()) < 1e-4

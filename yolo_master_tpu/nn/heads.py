@@ -131,11 +131,15 @@ class Detect(Module):
         out["hw_shapes"] = tuple((f.shape[1], f.shape[2]) for f in feats)
         return out
 
-    def decode(self, preds: dict, hw_shapes=None) -> jnp.ndarray:
+    def decode(self, preds: dict, hw_shapes=None, raw_scores: bool = False) -> jnp.ndarray:
         """DFL decode + anchor offset + stride scale + sigmoid scores.
 
         Returns [B, A, 4+nc]; boxes xywh (or xyxy·if end2end/xyxy) in input pixels.
         Reference: Detect._inference (head.py:176-194).
+
+        raw_scores=True skips the sigmoid (class LOGITS in the score slots) —
+        the NMS fast path selects candidates on logits (sigmoid is monotonic)
+        and applies sigmoid only to the survivors.
         """
         branch = preds["one2one"] if self.end2end else preds["one2many"]
         hw_shapes = hw_shapes or preds["hw_shapes"]
@@ -145,7 +149,10 @@ class Detect(Module):
         dist = dfl_decode(branch["boxes"].astype(jnp.float32), self.reg_max)  # [B, A, 4]
         xywh = not self.end2end and not self.xyxy
         dbox = dist2bbox(dist, anchors[None], xywh=xywh) * strides[None]
-        return jnp.concatenate([dbox, jax.nn.sigmoid(branch["scores"].astype(jnp.float32))], -1)
+        scores = branch["scores"].astype(jnp.float32)
+        if not raw_scores:
+            scores = jax.nn.sigmoid(scores)
+        return jnp.concatenate([dbox, scores], -1)
 
     def postprocess_end2end(self, decoded: jnp.ndarray, max_det: int = 300) -> jnp.ndarray:
         """In-graph top-k for NMS-free end2end mode (reference head.py:216-262).

@@ -131,10 +131,13 @@ class BatchNorm(Module):
                 "mean": (1 - m) * p["mean"] + m * lax.stop_gradient(mean),
                 "var": (1 - m) * p["var"] + m * lax.stop_gradient(unbiased),
             }
-        else:
-            mean, var = p["mean"], p["var"]
-        inv = lax.rsqrt(var + self.eps) * p["scale"]
-        return ((x.astype(jnp.float32) - mean) * inv + p["bias"]).astype(x.dtype)
+            inv = lax.rsqrt(var + self.eps) * p["scale"]
+            return ((xf - mean) * inv + p["bias"]).astype(x.dtype)
+        # eval: fold stats into one FMA in the activation dtype — keeps bf16
+        # chains fusion-friendly (no fp32 round-trip per layer)
+        inv = (lax.rsqrt(p["var"].astype(jnp.float32) + self.eps) * p["scale"]).astype(x.dtype)
+        shift = (p["bias"] - p["mean"] * lax.rsqrt(p["var"].astype(jnp.float32) + self.eps) * p["scale"]).astype(x.dtype)
+        return x * inv + shift
 
 
 # ---------------------------------------------------------------------------
