@@ -75,6 +75,7 @@ def make_train_step(
     hyp: Optional[Dict[str, float]] = None,
     compute_dtype=jnp.float32,
     ema_on: bool = True,
+    accumulate: int = 1,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -86,15 +87,43 @@ def make_train_step(
     if tx is None:
         tx = make_optimizer(0.01)
 
-    def loss_fn(params, batch):
-        ctx = Context(training=True, compute_dtype=compute_dtype)
+    def loss_fn(params, batch, step_idx):
+        ctx = Context(training=True, compute_dtype=compute_dtype, step=step_idx)
         x = batch["images"].astype(compute_dtype)
         preds = model.forward_train(params, x, ctx)
         total, metrics = model.compute_loss(preds, batch, ctx.total_aux(), hyp)
         return total, (metrics, ctx.updates)
 
+    def grad_fn(params, batch, step_idx):
+        """Gradients, optionally accumulated over micro-batches (the functional
+        analog of the reference's nbs grad accumulation, trainer.py:649-666)."""
+        if accumulate <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, step_idx)
+        micro = jax.tree_util.tree_map(
+            lambda a: a.reshape(accumulate, a.shape[0] // accumulate, *a.shape[1:]), batch
+        )
+
+        def scan_body(carry, mb):
+            acc_grads, acc_total, acc_metrics = carry
+            (total, (metrics, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, step_idx)
+            acc_grads = jax.tree_util.tree_map(lambda a, g: a + g, acc_grads, grads)
+            acc_metrics = jax.tree_util.tree_map(lambda a, m: a + m, acc_metrics, metrics) if acc_metrics else metrics
+            return (acc_grads, acc_total + total, acc_metrics), updates
+
+        first_mb = jax.tree_util.tree_map(lambda a: a[0], micro)
+        (total0, (metrics0, updates0)), grads0 = jax.value_and_grad(loss_fn, has_aux=True)(params, first_mb, step_idx)
+        carry = (grads0, total0, metrics0)
+        for i in range(1, accumulate):
+            mb = jax.tree_util.tree_map(lambda a: a[i], micro)
+            carry, updates0 = scan_body(carry, mb)
+        grads, total, metrics = carry
+        k = float(accumulate)
+        grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m / k, metrics)
+        return (total / k, (metrics, updates0)), grads
+
     def step(state: TrainState, batch):
-        (total, (loss_metrics, bn_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        (total, (loss_metrics, bn_updates)), grads = grad_fn(state.params, batch, state.step)
         # non-finite guard: skip the update on NaN/Inf loss (functional analog
         # of the reference's coordinated NaN recovery, trainer.py:1026,1392)
         finite = jnp.isfinite(total)

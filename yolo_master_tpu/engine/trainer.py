@@ -51,6 +51,9 @@ class DetectionTrainer:
         hyp: Optional[Dict] = None,
         save_period: int = -1,
         compute_dtype=jnp.float32,
+        nbs: int = 64,
+        resume: bool = False,
+        tensorboard: bool = False,
     ):
         self.yolo = yolo
         self.model = yolo.model
@@ -92,10 +95,28 @@ class DetectionTrainer:
             step=jnp.zeros((), jnp.int32),
             ema_updates=jnp.zeros((), jnp.float32),
         )
+        # grad accumulation toward the nominal batch size (reference nbs=64,
+        # trainer.py accumulate = max(round(nbs/batch), 1)); here micro-batching
+        # splits the loaded batch, so effective batch == loaded batch
+        accumulate = 1
         self.step_fn = make_train_step(
             self.model, tx=self.tx, mesh=mesh, imgsz=imgsz, batch_per_step=batch, max_gt=max_gt,
-            hyp=self.hyp, compute_dtype=compute_dtype,
+            hyp=self.hyp, compute_dtype=compute_dtype, accumulate=accumulate,
         )
+        from ..utils.callbacks import default_callbacks
+        from .recovery import TrainingRecoveryController
+
+        self.callbacks = default_callbacks(str(self.save_dir), tensorboard=tensorboard)
+        self.recovery = TrainingRecoveryController(self.model, str(self.save_dir), smoke_imgsz=min(imgsz, 64))
+        self.start_epoch = 0
+        if resume:
+            ckpt = self.save_dir / "state"
+            if ckpt.exists():
+                from ..utils.checkpoint import load_train_state
+
+                self.state = load_train_state(str(ckpt), self.state)
+                self.start_epoch = int(self.state.step) // max(len(self.loader), 1)
+                LOGGER.info(f"resumed from {ckpt} at epoch {self.start_epoch}")
         self.validator = (
             DetectionValidator(model=self.model, data=data, imgsz=imgsz, batch=min(batch, 8), max_gt=max_gt, mesh=mesh)
             if val
@@ -108,7 +129,7 @@ class DetectionTrainer:
         metrics_out: Dict[str, float] = {}
         nb = len(self.loader)
         LOGGER.info(f"training {self.epochs} epochs x {nb} steps, batch {self.batch}, imgsz {self.imgsz}")
-        for epoch in range(self.epochs):
+        for epoch in range(self.start_epoch, self.epochs):
             t0 = time.perf_counter()
             agg = {}
             for batch in self.loader.epoch(epoch):
@@ -124,6 +145,11 @@ class DetectionTrainer:
                 f"dfl {agg.get('dfl_loss', 0):.3f} aux {agg.get('aux_loss', 0):.3f}) "
                 f"lr {lr_now:.5f}  {time.perf_counter() - t0:.1f}s"
             )
+            # coordinated NaN recovery (reference recovery.py / trainer.py:1392)
+            self.state, recovered = self.recovery.maybe_recover(self.state, agg)
+            if not recovered:
+                self.recovery.refresh(self.state, epoch, agg)
+            self.callbacks.fire("on_fit_epoch_end", epoch, agg)
             if self.validator is not None:
                 metrics_out = self.validator(params=self.state.ema_params)
                 fit = metrics_out.get("fitness", 0.0)
@@ -134,7 +160,7 @@ class DetectionTrainer:
                     LOGGER.info(f"early stop at epoch {epoch + 1} (no fitness gain for {self.patience} epochs)")
                     break
             if self.save_period > 0 and (epoch + 1) % self.save_period == 0:
-                save_train_state(self.state, self.save_dir / f"state_epoch{epoch + 1}")
+                save_train_state(self.state, self.save_dir / "state")
         save_params_npz(self.state.ema_params, self.save_dir / "last.npz")
         self.yolo.params = self.state.ema_params
         metrics_out["best_fitness"] = best_fitness
