@@ -213,6 +213,12 @@ def collate(samples: List[Tuple[np.ndarray, np.ndarray]], max_gt: int) -> Dict[s
     return {"images": images, "boxes": boxes, "classes": classes, "mask": mask}
 
 
+def _default_collate(ds, samples):
+    if hasattr(ds, "collate_batch"):
+        return ds.collate_batch(samples)
+    return collate(samples, ds.max_gt)
+
+
 class DataLoader:
     """Infinite (train) or single-pass (val) fixed-shape batch iterator."""
 
@@ -239,4 +245,240 @@ class DataLoader:
                     break
                 idxs = idxs + order[: self.bs - len(idxs)]  # wrap to keep static shape
             samples = [self.ds.load_sample(i, rng) for i in idxs]
-            yield collate(samples, self.ds.max_gt)
+            yield _default_collate(self.ds, samples)
+
+
+# ---------------------------------------------------------------------------
+# Task-specific datasets (reference data/dataset.py:52-974: YOLODataset task
+# modes + ClassificationDataset). Label formats:
+#   segment: "cls x1 y1 x2 y2 ..." normalized polygon per row
+#   pose:    "cls xc yc w h kx ky kv ..." normalized keypoints
+#   obb:     "cls x1 y1 x2 y2 x3 y3 x4 y4" normalized corner points
+# ---------------------------------------------------------------------------
+
+class SegmentDataset(YOLODataset):
+    """Instance segmentation dataset: polygons -> binary masks + boxes."""
+
+    def __init__(self, *args, mask_ratio: int = 4, **kw):
+        self.mask_ratio = mask_ratio
+        super().__init__(*args, **kw)
+
+    @staticmethod
+    def _load_label(path: str) -> np.ndarray:
+        # keep raw polygon rows (variable length) as object array
+        p = Path(path)
+        if not p.exists():
+            return []
+        rows = []
+        for line in p.read_text().splitlines():
+            vals = [float(v) for v in line.split()]
+            if len(vals) >= 7:  # cls + >=3 points
+                rows.append(np.asarray(vals, np.float32))
+        return rows  # variable-length rows: plain list of float32 arrays
+
+    def load_sample(self, idx: int, rng: random.Random):
+        import cv2
+
+        im = cv2.imread(self.img_files[idx])
+        h0, w0 = im.shape[:2]
+        rows = self.labels[idx]
+        im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
+        H = W = self.imgsz
+        mh, mw = H // self.mask_ratio, W // self.mask_ratio
+        boxes, cls, masks = [], [], []
+        for row in rows:
+            c = row[0]
+            poly = row[1:].reshape(-1, 2) * [w0, h0]
+            poly = poly * ratio[0] + [pad[0], pad[1]]
+            x1, y1 = poly.min(0)
+            x2, y2 = poly.max(0)
+            boxes.append([x1, y1, x2, y2])
+            cls.append(c)
+            m = np.zeros((mh, mw), np.uint8)
+            cv2.fillPoly(m, [np.round(poly / self.mask_ratio).astype(np.int32)], 1)
+            masks.append(m)
+        im_rgb = im_lb[..., ::-1].astype(np.uint8)
+        lbl = np.concatenate([np.asarray(cls, np.float32)[:, None], np.asarray(boxes, np.float32)], -1) if cls else np.zeros((0, 5), np.float32)
+        mk = np.stack(masks) if masks else np.zeros((0, mh, mw), np.uint8)
+        return im_rgb, lbl, mk
+
+    def collate_batch(self, samples):
+        B = len(samples)
+        H = W = self.imgsz
+        mh, mw = H // self.mask_ratio, W // self.mask_ratio
+        out = {
+            "images": np.zeros((B, H, W, 3), np.float32),
+            "boxes": np.zeros((B, self.max_gt, 4), np.float32),
+            "classes": np.zeros((B, self.max_gt), np.int32),
+            "mask": np.zeros((B, self.max_gt), bool),
+            "masks": np.zeros((B, self.max_gt, mh, mw), np.float32),
+        }
+        for i, (im, lbl, mk) in enumerate(samples):
+            out["images"][i] = im.astype(np.float32) / 255.0
+            n = min(len(lbl), self.max_gt)
+            if n:
+                out["boxes"][i, :n] = lbl[:n, 1:5]
+                out["classes"][i, :n] = lbl[:n, 0].astype(np.int32)
+                out["mask"][i, :n] = True
+                out["masks"][i, :n] = mk[:n]
+        return out
+
+
+class PoseDataset(YOLODataset):
+    """Keypoint dataset (reference data/dataset.py pose mode)."""
+
+    def __init__(self, *args, kpt_shape=(17, 3), **kw):
+        self.kpt_shape = tuple(kpt_shape)
+        super().__init__(*args, **kw)
+
+    def load_sample(self, idx: int, rng: random.Random):
+        import cv2
+
+        im = cv2.imread(self.img_files[idx])
+        h0, w0 = im.shape[:2]
+        lbl = self.labels[idx]
+        nk, nd = self.kpt_shape
+        im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
+        boxes, cls, kpts = [], [], []
+        for row in lbl:
+            c, xc, yc, w, h = row[:5]
+            bx = np.array([(xc - w / 2) * w0, (yc - h / 2) * h0, (xc + w / 2) * w0, (yc + h / 2) * h0])
+            bx = bx * ratio[0] + [pad[0], pad[1], pad[0], pad[1]]
+            k = row[5 : 5 + nk * nd].reshape(nk, nd).copy() if len(row) >= 5 + nk * nd else np.zeros((nk, nd), np.float32)
+            k[:, 0] = k[:, 0] * w0 * ratio[0] + pad[0]
+            k[:, 1] = k[:, 1] * h0 * ratio[1] + pad[1]
+            boxes.append(bx)
+            cls.append(c)
+            kpts.append(k)
+        im_rgb = im_lb[..., ::-1].astype(np.uint8)
+        lbl5 = np.concatenate([np.asarray(cls, np.float32)[:, None], np.asarray(boxes, np.float32)], -1) if cls else np.zeros((0, 5), np.float32)
+        kp = np.stack(kpts) if kpts else np.zeros((0, nk, nd), np.float32)
+        return im_rgb, lbl5, kp
+
+    @staticmethod
+    def _load_label(path: str) -> np.ndarray:
+        p = Path(path)
+        if not p.exists():
+            return []
+        return [np.asarray([float(v) for v in line.split()], np.float32) for line in p.read_text().splitlines() if line.strip()]
+
+    def collate_batch(self, samples):
+        B = len(samples)
+        H = W = self.imgsz
+        nk, nd = self.kpt_shape
+        out = {
+            "images": np.zeros((B, H, W, 3), np.float32),
+            "boxes": np.zeros((B, self.max_gt, 4), np.float32),
+            "classes": np.zeros((B, self.max_gt), np.int32),
+            "mask": np.zeros((B, self.max_gt), bool),
+            "keypoints": np.zeros((B, self.max_gt, nk, nd), np.float32),
+        }
+        for i, (im, lbl, kp) in enumerate(samples):
+            out["images"][i] = im.astype(np.float32) / 255.0
+            n = min(len(lbl), self.max_gt)
+            if n:
+                out["boxes"][i, :n] = lbl[:n, 1:5]
+                out["classes"][i, :n] = lbl[:n, 0].astype(np.int32)
+                out["mask"][i, :n] = True
+                out["keypoints"][i, :n] = kp[:n]
+        return out
+
+
+class OBBDataset(YOLODataset):
+    """Oriented-box dataset: 4-corner labels -> xywhr (reference obb mode +
+    data/split_dota.py conventions)."""
+
+    @staticmethod
+    def _load_label(path: str) -> np.ndarray:
+        p = Path(path)
+        if not p.exists():
+            return np.zeros((0, 9), np.float32)
+        rows = []
+        for line in p.read_text().splitlines():
+            vals = line.split()
+            if len(vals) >= 9:
+                rows.append([float(v) for v in vals[:9]])
+        return np.asarray(rows, np.float32) if rows else np.zeros((0, 9), np.float32)
+
+    def load_sample(self, idx: int, rng: random.Random):
+        import cv2
+
+        im = cv2.imread(self.img_files[idx])
+        h0, w0 = im.shape[:2]
+        lbl = self.labels[idx]
+        im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
+        rboxes, cls = [], []
+        for row in lbl:
+            c = row[0]
+            pts = row[1:9].reshape(4, 2) * [w0, h0]
+            pts = pts * ratio[0] + [pad[0], pad[1]]
+            (cx, cy), (w, h), ang = cv2.minAreaRect(pts.astype(np.float32))
+            r = np.deg2rad(ang)
+            # canonical xywhr: keep w >= h, r in [-pi/4, 3pi/4) like the decode range
+            if h > w:
+                w, h = h, w
+                r += np.pi / 2
+            rboxes.append([cx, cy, w, h, r])
+            cls.append(c)
+        im_rgb = im_lb[..., ::-1].astype(np.uint8)
+        rb = np.asarray(rboxes, np.float32) if rboxes else np.zeros((0, 5), np.float32)
+        return im_rgb, np.asarray(cls, np.float32), rb
+
+    def collate_batch(self, samples):
+        B = len(samples)
+        H = W = self.imgsz
+        out = {
+            "images": np.zeros((B, H, W, 3), np.float32),
+            "rboxes": np.zeros((B, self.max_gt, 5), np.float32),
+            "classes": np.zeros((B, self.max_gt), np.int32),
+            "mask": np.zeros((B, self.max_gt), bool),
+        }
+        for i, (im, cls, rb) in enumerate(samples):
+            out["images"][i] = im.astype(np.float32) / 255.0
+            n = min(len(cls), self.max_gt)
+            if n:
+                out["rboxes"][i, :n] = rb[:n]
+                out["classes"][i, :n] = cls[:n].astype(np.int32)
+                out["mask"][i, :n] = True
+        return out
+
+
+class ClassificationDataset:
+    """Folder-per-class dataset (reference data/dataset.py:974)."""
+
+    def __init__(self, root: str, imgsz: int = 224, augment: bool = False):
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.names = dict(enumerate(classes))
+        self.samples = []
+        for ci, cname in enumerate(classes):
+            for f in sorted((self.root / cname).rglob("*")):
+                if f.suffix.lower().lstrip(".") in IMG_FORMATS:
+                    self.samples.append((str(f), ci))
+        self.max_gt = 0
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_sample(self, idx: int, rng: random.Random):
+        import cv2
+
+        path, ci = self.samples[idx]
+        im = cv2.imread(path)
+        im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+        if self.augment and rng.random() < 0.5:
+            im = im[:, ::-1]
+        return np.ascontiguousarray(im[..., ::-1]), ci
+
+    def collate_batch(self, samples):
+        B = len(samples)
+        out = {
+            "images": np.zeros((B, self.imgsz, self.imgsz, 3), np.float32),
+            "classes": np.zeros((B,), np.int32),
+        }
+        for i, (im, ci) in enumerate(samples):
+            out["images"][i] = im.astype(np.float32) / 255.0
+            out["classes"][i] = ci
+        return out
