@@ -1,0 +1,30 @@
+"""Queue management solution (reference: ultralytics/solutions/queue_management.py):
+count tracked objects dwelling inside a queue region."""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from .counter import RegionCounter
+
+
+class QueueManager:
+    def __init__(self, region: Sequence[Tuple[float, float]], min_frames: int = 3):
+        self.region = RegionCounter({"queue": region})
+        self.min_frames = min_frames
+        self._dwell: Dict[int, int] = {}
+
+    def update(self, tracks: np.ndarray) -> dict:
+        inside_ids = []
+        for row in np.asarray(tracks).reshape(-1, 7):
+            tid = int(row[4])
+            center = ((row[0] + row[2]) / 2, (row[1] + row[3]) / 2)
+            if RegionCounter._inside(center, self.region.regions["queue"]):
+                self._dwell[tid] = self._dwell.get(tid, 0) + 1
+                inside_ids.append(tid)
+            else:
+                self._dwell.pop(tid, None)
+        queued = [t for t in inside_ids if self._dwell.get(t, 0) >= self.min_frames]
+        return {"count": len(queued), "ids": queued}
