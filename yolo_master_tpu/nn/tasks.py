@@ -75,6 +75,7 @@ MODULE_REGISTRY: Dict[str, type] = {
     "OBB": OBB,
     "Classify": Classify,
     "SemanticSegment": SemanticSegment,
+    "RTDETRDecoder": "rtdetr",  # resolved lazily (circular import)
     "ES_MOE": ES_MOE,
     "A2C2fMoE": A2C2fMoE,
     "OptimizedMOEImproved": OptimizedMOEImproved,
@@ -143,6 +144,8 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
         if mname not in MODULE_REGISTRY:
             raise KeyError(f"unknown module '{mname}' in model yaml")
         m = MODULE_REGISTRY[mname]
+        if m == "rtdetr":
+            from ..models.rtdetr import RTDETRDecoder as m  # noqa: N813
         args = [
             nc if a == "nc" else cfg.get("kpt_shape", (17, 3)) if a == "kpt_shape" else a for a in args
         ]
@@ -180,6 +183,9 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
+        elif getattr(m, "__name__", "") == "RTDETRDecoder":
+            args = [args[0], [channels[x] for x in f], *args[1:]]  # nc, ch, ...
+            c2 = None
         elif m is SemanticSegment:
             args = [args[0], [channels[x] for x in f]]  # nc, ch list (reference tasks.py:2135)
             c2 = None
@@ -517,3 +523,23 @@ def _semantic_loss(model, preds, batch, aux_total, hyp):
 
 
 SemanticSegmentationModel.compute_loss = _semantic_loss
+
+
+class RTDETRDetectionModel(BaseModel):
+    """RT-DETR detection model (reference nn/tasks.py:934)."""
+
+    task = "detect"
+
+    def _post_build(self):
+        head = self.specs[-1].module
+        object.__setattr__(self, "head", head)
+        self.head_strides = (8, 16, 32)
+        head.set_strides(self.head_strides)
+
+    def forward_train(self, p: Params, x: jnp.ndarray, ctx: Context) -> dict:
+        return self.forward_features(p, x, ctx)
+
+    def forward_predict(self, p: Params, x: jnp.ndarray, ctx: Optional[Context] = None) -> jnp.ndarray:
+        ctx = ctx or Context(training=False)
+        preds = self.forward_features(p, x, ctx)
+        return self.head.decode(preds, (x.shape[1], x.shape[2]))
