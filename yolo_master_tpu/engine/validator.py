@@ -46,6 +46,7 @@ class DetectionValidator:
         max_gt: int = 128,
         mesh=None,
         use_ema: bool = True,
+        save_json: Optional[str] = None,
     ):
         if yolo is not None:
             model = yolo.model
@@ -59,6 +60,7 @@ class DetectionValidator:
         self.max_det, self.max_nms = max_det, max_nms
         self.max_gt = max_gt
         self.mesh = mesh
+        self.save_json = save_json
         self._fn = None
 
     def _jit_fn(self):
@@ -94,6 +96,7 @@ class DetectionValidator:
         n_img = len(dataset)
         t0 = time.perf_counter()
         seen = 0
+        jdict = [] if self.save_json else None
         for batch in loader.epoch(0):
             det = fn(params, jnp.asarray(batch["images"]))
             det = jax.tree_util.tree_map(np.asarray, det)
@@ -110,7 +113,15 @@ class DetectionValidator:
                     batch["boxes"][i, :gt_n],
                     batch["classes"][i, :gt_n],
                 )
+                if jdict is not None and n:
+                    self._append_json(jdict, dataset, seen, det, i, n)
                 seen += 1
+        if jdict is not None:
+            import json as _json
+            from pathlib import Path as _Path
+
+            _Path(self.save_json).write_text(_json.dumps(jdict))
+            LOGGER.info(f"saved {len(jdict)} COCO-format predictions to {self.save_json}")
         out = metrics.compute()
         out["images"] = seen
         out["sec"] = time.perf_counter() - t0
@@ -119,3 +130,31 @@ class DetectionValidator:
             f"mAP50 {out['mAP50']:.3f}  mAP50-95 {out['mAP50-95']:.3f}  ({out['sec']:.1f}s)"
         )
         return out
+
+    def _append_json(self, jdict, dataset, img_index, det, i, n):
+        """Unletterbox to original coords and append COCO-format rows
+        (reference detect/val.py pred_to_json)."""
+        import cv2
+
+        path = dataset.img_files[img_index]
+        im = cv2.imread(path)
+        h0, w0 = im.shape[:2]
+        r = min(self.imgsz / h0, self.imgsz / w0)
+        r = min(r, 1.0)  # val letterbox scaleup=False
+        pad_x = round((self.imgsz - w0 * r) / 2 - 0.1)
+        pad_y = round((self.imgsz - h0 * r) / 2 - 0.1)
+        boxes = det["boxes"][i, :n].copy()
+        boxes[:, [0, 2]] = ((boxes[:, [0, 2]] - pad_x) / r).clip(0, w0)
+        boxes[:, [1, 3]] = ((boxes[:, [1, 3]] - pad_y) / r).clip(0, h0)
+        from pathlib import Path as _Path
+
+        stem = _Path(path).stem
+        image_id = int(stem) if stem.isnumeric() else img_index
+        for j in range(n):
+            x1, y1, x2, y2 = boxes[j]
+            jdict.append({
+                "image_id": image_id,
+                "category_id": int(det["classes"][i, j]),
+                "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                "score": round(float(det["scores"][i, j]), 5),
+            })
