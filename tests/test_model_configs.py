@@ -35,6 +35,7 @@ CONFIGS = [
     ("yolo26-master-moa-mot-n", 2_908_922),
     ("yolo26-master-latent-n", 5_478_423),
     ("yolo-master-v0_10-n", 3_449_963 - 16),
+    ("yolo-master-v0_1-n", 7_546_984 - 16),
 ]
 
 

@@ -94,10 +94,14 @@ class DetectionPredictor:
         if bs not in self._jitted:
             end2end = self.model.head.end2end
 
+            supports_raw = hasattr(self.model.head, "decode") and "raw_scores" in self.model.head.decode.__code__.co_varnames
+
             @jax.jit
             def run(params, x):
-                decoded = self.model.forward_predict(params, x, Context(training=False))
+                ctx = Context(training=False)
+                preds = self.model.forward_train(params, x, ctx)
                 if end2end:
+                    decoded = self.model.head.decode(preds)
                     out = self.model.head.postprocess_end2end(decoded, self.max_det)
                     conf_ok = out[..., 4] > self.conf
                     return {
@@ -106,6 +110,8 @@ class DetectionPredictor:
                         "classes": jnp.where(conf_ok, out[..., 5], -1.0),
                         "valid": conf_ok,
                     }
+                # logits fast path: candidate selection pre-sigmoid (monotonic)
+                decoded = self.model.head.decode(preds, raw_scores=supports_raw)
                 return non_max_suppression(
                     decoded,
                     nc=self.model.nc,
@@ -115,6 +121,7 @@ class DetectionPredictor:
                     max_nms=self.max_nms,
                     agnostic=self.agnostic,
                     class_mask=self.class_mask,
+                    scores_are_logits=supports_raw,
                 )
 
             self._jitted[bs] = run
