@@ -15,16 +15,33 @@ import numpy as np
 
 from ..cfg import COCO_NAMES
 from ..engine.predictor import DetectionPredictor
-from ..nn.tasks import ClassificationModel, DetectionModel
+from ..nn.tasks import (
+    ClassificationModel,
+    DetectionModel,
+    OBBModel,
+    PoseModel,
+    RTDETRDetectionModel,
+    SegmentationModel,
+    SemanticSegmentationModel,
+)
 from ..utils import LOGGER
 
-TASK_MODELS = {"detect": DetectionModel, "classify": ClassificationModel}
+TASK_MODELS = {
+    "detect": DetectionModel,
+    "segment": SegmentationModel,
+    "pose": PoseModel,
+    "obb": OBBModel,
+    "classify": ClassificationModel,
+    "semantic": SemanticSegmentationModel,
+    "rtdetr": RTDETRDetectionModel,
+}
 
 
 class YOLO:
     """User facade over task models (reference engine/model.py Model class)."""
 
-    def __init__(self, model: str = "yolo-master-n", task: str = "detect", nc: Optional[int] = None, seed: int = 0):
+    def __init__(self, model: str = "yolo-master-n", task: Optional[str] = None, nc: Optional[int] = None, seed: int = 0):
+        task = task or self._guess_task(str(model))
         self.task = task
         self.names: Dict[int, str] = dict(COCO_NAMES)
         self.ckpt_path = None
@@ -35,10 +52,22 @@ class YOLO:
             )
         if model.endswith((".npz", ".ckpt")):
             raise NotImplementedError("native checkpoint loading lands with the trainer")
+        if task not in TASK_MODELS:
+            raise KeyError(f"unknown task '{task}' (choices: {list(TASK_MODELS)})")
         self.model = TASK_MODELS[task](model, nc=nc)
         self.model_name = model
         self.params = self.model.init_params(seed)
         self._predictor: Optional[DetectionPredictor] = None
+
+    @staticmethod
+    def _guess_task(name: str) -> str:
+        """Infer task from model name (reference Model task inference)."""
+        for key in ("seg", "pose", "obb", "cls", "semantic"):
+            if f"-{key}" in name or f"_{key}" in name:
+                return {"seg": "segment", "cls": "classify"}.get(key, key)
+        if "rtdetr" in name:
+            return "rtdetr"
+        return "detect"
 
     # -- weights ---------------------------------------------------------------
     def load_torch(self, pt_path: str) -> "YOLO":
@@ -102,6 +131,18 @@ class YOLO:
         return trainer.train()
 
     def val(self, **kwargs):
+        if self.task == "segment":
+            from ..engine.validators_task import SegmentationValidator
+
+            return SegmentationValidator(self.model, params=self.params, **kwargs)()
+        if self.task == "pose":
+            from ..engine.validators_task import PoseValidator
+
+            return PoseValidator(self.model, params=self.params, **kwargs)()
+        if self.task == "obb":
+            from ..engine.validators_task import OBBValidator
+
+            return OBBValidator(self.model, params=self.params, **kwargs)()
         from ..engine.validator import DetectionValidator
 
         validator = DetectionValidator(self, **kwargs)
