@@ -38,7 +38,7 @@ def main():
                 preds = model.forward_train(p, x, Context(training=False))
                 decoded = model.head.decode(preds, raw_scores=True)
                 det = non_max_suppression(
-                    decoded, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=2048, scores_are_logits=True
+                    decoded, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=1024, scores_are_logits=True
                 )
                 s = det["scores"].sum()
                 return x0 + (s * 1e-9).astype(jnp.bfloat16), acc + s
