@@ -88,3 +88,26 @@ def test_metrics_all_wrong_class():
     m.update(gt, np.array([0.9]), np.array([1]), gt, np.array([0]))
     out = m.compute()
     assert out["mAP50"] == 0.0
+
+
+def test_classes_filter_on_logits_path():
+    """classes= filter must mask logits to -inf, not 0 (ADVICE r1, high):
+    a zeroed logit sigmoids to 0.5 and floods outputs with excluded classes."""
+    import jax.numpy as jnp
+    from yolo_master_tpu.ops.nms import non_max_suppression
+
+    nc = 3
+    # one anchor strongly predicting class 2 (logit 4), others background (-6)
+    pred = jnp.array([[[100.0, 100.0, 40.0, 40.0, -6.0, -6.0, 4.0]]])
+    mask = jnp.array([1.0, 1.0, 0.0])  # exclude class 2
+    det = non_max_suppression(
+        pred, nc=nc, conf_thres=0.25, max_det=4, max_nms=4,
+        class_mask=mask, scores_are_logits=True, use_pallas=False,
+    )
+    assert int(det["valid"].sum()) == 0  # nothing above conf once cls2 masked
+    # without the mask the detection must survive as class 2
+    det2 = non_max_suppression(
+        pred, nc=nc, conf_thres=0.25, max_det=4, max_nms=4,
+        scores_are_logits=True, use_pallas=False,
+    )
+    assert int(det2["valid"].sum()) == 1 and int(det2["classes"][0, 0]) == 2

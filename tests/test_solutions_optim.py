@@ -80,3 +80,21 @@ def test_muon_orthogonalizes_and_descends():
         updates, state = tx.update(grads, state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
     assert float(loss(params)) < l0 * 0.25
+
+
+def test_muon_hwio_matricization():
+    """4D HWIO conv grads must be orthogonalized as [O, H*W*I] (the reference's
+    torch OIHW reshape), not [kh, kw*I*O] (ADVICE r1, medium)."""
+    import numpy as np
+    from yolo_master_tpu.optim import newton_schulz_orthogonalize
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(3, 3, 8, 16)).astype(np.float32)  # HWIO
+    out = np.asarray(newton_schulz_orthogonalize(jnp.asarray(g)))
+    assert out.shape == g.shape
+    m = out.transpose(3, 0, 1, 2).reshape(16, -1)  # [O, H*W*I]
+    gram = m @ m.T
+    # rows should be near-orthonormal after NS iteration on the [O, fan-in] matrix
+    off = gram - np.diag(np.diag(gram))
+    assert np.abs(np.diag(gram) - 1).mean() < 0.35
+    assert np.abs(off).mean() < 0.08

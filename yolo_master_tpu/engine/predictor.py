@@ -151,7 +151,9 @@ class DetectionPredictor:
             x, meta = self.preprocess(images)
             t1 = time.perf_counter()
             bs = x.shape[0]
-            pad_to = self.batch if bs == self.batch else bs
+            # power-of-two bucketing (capped at self.batch): ragged tail
+            # batches pad up to a bucket instead of triggering a fresh compile
+            pad_to = min(self.batch, 1 << (bs - 1).bit_length())
             if pad_to != bs:
                 x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
             det = self._get_fn(pad_to)(self.params, jnp.asarray(x, self.compute_dtype))

@@ -27,6 +27,7 @@ from ..data.dataset import DataLoader, YOLODataset
 from ..nn.module import Context
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER
+from ..utils.coco import COCO80_TO_COCO91
 from ..utils.metrics import DetMetrics
 
 
@@ -97,6 +98,11 @@ class DetectionValidator:
         t0 = time.perf_counter()
         seen = 0
         jdict = [] if self.save_json else None
+        # real COCO annotations use sparse category ids 1-90; map the
+        # contiguous model index when the dataset is COCO (reference pred_to_json)
+        names = getattr(dataset, "names", {}) or {}
+        is_coco = len(names) == 80 and names.get(0) == "person" and names.get(79) == "toothbrush"
+        self._class_map = COCO80_TO_COCO91 if is_coco else None
         for batch in loader.epoch(0):
             det = fn(params, jnp.asarray(batch["images"]))
             det = jax.tree_util.tree_map(np.asarray, det)
@@ -150,11 +156,13 @@ class DetectionValidator:
 
         stem = _Path(path).stem
         image_id = int(stem) if stem.isnumeric() else img_index
+        cmap = getattr(self, "_class_map", None)
         for j in range(n):
             x1, y1, x2, y2 = boxes[j]
+            c = int(det["classes"][i, j])
             jdict.append({
                 "image_id": image_id,
-                "category_id": int(det["classes"][i, j]),
+                "category_id": cmap[c] if cmap else c,
                 "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
                 "score": round(float(det["scores"][i, j]), 5),
             })

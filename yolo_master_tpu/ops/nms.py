@@ -80,7 +80,12 @@ def _single_image_nms(
     boxes = xywh2xyxy(pred[:, :4])
     cls_scores = pred[:, 4 : 4 + nc]
     if class_mask is not None:
-        cls_scores = cls_scores * class_mask[None, :]
+        if scores_are_logits:
+            # zeroing a logit would sigmoid to 0.5 and beat real negatives;
+            # excluded classes must be -inf in logit space
+            cls_scores = jnp.where(class_mask[None, :] > 0, cls_scores, -1e9)
+        else:
+            cls_scores = cls_scores * class_mask[None, :]
 
     if multi_label and nc > 1:
         # candidates = all (anchor, class) pairs above threshold

@@ -18,7 +18,15 @@ def newton_schulz_orthogonalize(g: jnp.ndarray, steps: int = 5, eps: float = 1e-
     (reference muon.py zeropower_via_newtonschulz semantics)."""
     a, b, c = _NS_COEFFS
     orig_shape = g.shape
-    x = g.reshape(orig_shape[0], -1) if g.ndim > 2 else g
+    if g.ndim == 4:
+        # HWIO conv kernel: matricize as [O, H*W*I] to match the reference's
+        # torch OIHW `g.reshape(O, -1)` — orthogonalization must act on the
+        # output-channel-by-fan-in matrix, not [kh, kw*I*O]
+        x = g.transpose(3, 0, 1, 2).reshape(orig_shape[3], -1)
+    elif g.ndim > 2:
+        x = g.reshape(orig_shape[0], -1)
+    else:
+        x = g
     transposed = x.shape[0] > x.shape[1]
     if transposed:
         x = x.T
@@ -31,6 +39,9 @@ def newton_schulz_orthogonalize(g: jnp.ndarray, steps: int = 5, eps: float = 1e-
     x = jax.lax.fori_loop(0, steps, body, x)
     if transposed:
         x = x.T
+    if g.ndim == 4:
+        h, w, i, o = orig_shape
+        return x.reshape(o, h, w, i).transpose(1, 2, 3, 0)
     return x.reshape(orig_shape)
 
 
@@ -58,9 +69,14 @@ def muon(
             u = momentum * m + g if nesterov else m
             if u.ndim >= 2:
                 o = newton_schulz_orthogonalize(u, ns_steps)
-                # scale like the reference: sqrt(max(1, rows/cols)) keeps RMS
-                rows = u.shape[0]
-                cols = int(jnp.prod(jnp.asarray(u.shape[1:])))
+                # scale like the reference: sqrt(max(1, rows/cols)) keeps RMS;
+                # rows/cols follow the same matricization as the NS iteration
+                if u.ndim == 4:  # HWIO -> [O, H*W*I]
+                    rows = u.shape[3]
+                    cols = u.shape[0] * u.shape[1] * u.shape[2]
+                else:
+                    rows = u.shape[0]
+                    cols = int(jnp.prod(jnp.asarray(u.shape[1:])))
                 return o * jnp.sqrt(jnp.maximum(1.0, rows / max(cols, 1)))
             return u
 

@@ -27,9 +27,25 @@ AREA_RANGES = {
 }
 
 
-def write_predictions_json(results, path: str, image_ids: Optional[List[int]] = None) -> str:
+# fmt: off
+COCO80_TO_COCO91 = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22,
+    23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44,
+    46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 64,
+    65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88,
+    89, 90,
+]
+# fmt: on
+
+
+def write_predictions_json(
+    results, path: str, image_ids: Optional[List[int]] = None, class_map: Optional[List[int]] = None
+) -> str:
     """Results list -> COCO predictions json (xywh, category_id, score)
-    (the jdict writer, reference detect/val.py pred_to_json)."""
+    (the jdict writer, reference detect/val.py pred_to_json).
+
+    class_map maps the contiguous model class index to dataset category ids
+    (COCO80_TO_COCO91 for real COCO annotations, which use sparse ids 1-90)."""
     out = []
     for i, r in enumerate(results):
         img_id = image_ids[i] if image_ids else i
@@ -37,10 +53,11 @@ def write_predictions_json(results, path: str, image_ids: Optional[List[int]] = 
             continue
         for j in range(len(r.boxes)):
             x1, y1, x2, y2 = r.boxes.xyxy[j]
+            c = int(r.boxes.cls[j])
             out.append(
                 {
                     "image_id": int(img_id),
-                    "category_id": int(r.boxes.cls[j]),
+                    "category_id": class_map[c] if class_map else c,
                     "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
                     "score": float(r.boxes.conf[j]),
                 }
@@ -104,6 +121,11 @@ class COCOEvaluator:
                 crowd = np.asarray([a.get("iscrowd", 0) for a in gts], bool)
                 g_area = np.asarray([a.get("area", a["bbox"][2] * a["bbox"][3]) for a in gts], np.float64)
                 g_ignore = crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
+                # COCOeval sorts GTs by ignore flag (non-ignored first): the
+                # greedy loop's early break assumes this ordering
+                if len(g) and g_ignore.any():
+                    order_g = np.argsort(g_ignore, kind="stable")
+                    g, crowd, g_ignore = g[order_g], crowd[order_g], g_ignore[order_g]
                 n_gt += int((~g_ignore).sum())
                 if not dts:
                     continue
