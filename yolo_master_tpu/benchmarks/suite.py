@@ -26,7 +26,7 @@ from ..utils import LOGGER, yaml_load
 DEFAULT_SUITE = [
     {"name": "master-n-latency", "kind": "latency", "model": "yolo-master-n", "imgsz": 640},
     {"name": "master-n-sparse-parity", "kind": "sparse_parity", "model": "yolo-master-n", "imgsz": 64},
-    {"name": "master-n-expert-flops", "kind": "expert_flops", "model": "yolo-master-n"},
+    {"name": "moe16-expert-flops", "kind": "expert_flops", "num_experts": 16, "top_k": 2},
 ]
 
 
@@ -69,9 +69,11 @@ def _latency(entry) -> dict:
 
 
 def _sparse_parity(entry) -> dict:
-    """Sparse(top-k masked) vs dense routing output gap. Our dispatch is
-    masked-dense, so sparse==dense holds by construction; this gate guards
-    regressions in the top-k/renormalize math."""
+    """Gathered-sparse vs masked-dense routing output gap (reference gate:
+    max abs diff <= 1e-4, mixture_baselines.yaml:4). Runs under
+    default_matmul_precision('highest') so the gate measures *algorithmic*
+    equivalence of the two dispatch paths, not backend conv rounding (JAX's
+    default conv precision is reduced on both CPU and TPU)."""
     import numpy as np
 
     from ..nn.tasks import DetectionModel
@@ -80,25 +82,64 @@ def _sparse_parity(entry) -> dict:
     params = model.init_params(0)
     imgsz = entry.get("imgsz", 64)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, imgsz, imgsz, 3)), jnp.float32)
-    y_sparse = model.forward_predict(params, x, Context(training=False, sparse_inference=True))
-    y_dense = model.forward_predict(params, x, Context(training=False, sparse_inference=False))
+    with jax.default_matmul_precision("highest"):
+        y_sparse = model.forward_predict(params, x, Context(training=False, sparse_inference=True))
+        y_dense = model.forward_predict(params, x, Context(training=False, sparse_inference=False))
     gap = float(jnp.abs(y_sparse - y_dense).max())
     return {"max_abs_diff": gap, "pass": gap <= entry.get("gate", 1e-4)}
 
 
 def _expert_flops(entry) -> dict:
-    """Expert-FLOP reduction from top-k dispatch (gate >= 20%)."""
-    from ..nn.moe import ES_MOE
-    from ..nn.tasks import DetectionModel
+    """MEASURED expert-compute reduction from gathered top-k dispatch
+    (gate >= 20%, reference benchmarks/mixture_baselines.yaml:5).
 
-    model = DetectionModel(entry["model"])
-    blocks = [s.module for s in model.specs if isinstance(s.module, ES_MOE)]
-    if not blocks:
-        return {"reduction": 0.0, "pass": False}
-    # per-sample routing: top-k of E experts ~ k/E of expert FLOPs
-    ratios = [b.top_k / b.num_experts for b in blocks]
-    reduction = 1.0 - sum(ratios) / len(ratios)
-    return {"reduction": round(reduction, 4), "pass": reduction >= entry.get("gate", 0.2) or all(r == 1.0 for r in ratios)}
+    Compiles the sparse (gathered, nn/moe/dispatch.py) and dense
+    (compute-all-experts) eval forwards of a routed block and compares
+    (a) compiled-HLO FLOPs via cost_analysis and (b) wall-clock latency.
+    Default block: the v0_1-style 16-expert ModularRouterExpertMoE layer."""
+    import time as _t
+
+    import numpy as np
+
+    from ..nn.module import Context as Ctx
+    from ..nn.moe.mixtures import ModularRouterExpertMoE
+
+    c = entry.get("channels", 64)
+    m = ModularRouterExpertMoE(
+        c, c,
+        num_experts=entry.get("num_experts", 16),
+        top_k=entry.get("top_k", 2),
+        progressive_sparsity=False,
+    )
+    m.finalize("bench")
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(entry.get("batch", 4), 32, 32, c)), jnp.float32)
+
+    f_sparse = jax.jit(lambda p, x: m(p, x, Ctx(training=False, sparse_inference=True)))
+    f_dense = jax.jit(lambda p, x: m(p, x, Ctx(training=False, sparse_inference=False)))
+    flops_s = f_sparse.lower(params, x).compile().cost_analysis().get("flops", 0.0)
+    flops_d = f_dense.lower(params, x).compile().cost_analysis().get("flops", 0.0)
+
+    def med_latency(f):
+        f(params, x)[0].block_until_ready()
+        ts = []
+        for _ in range(7):
+            t0 = _t.perf_counter()
+            f(params, x)[0].block_until_ready()
+            ts.append((_t.perf_counter() - t0) * 1e3)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    lat_s, lat_d = med_latency(f_sparse), med_latency(f_dense)
+    flop_reduction = 1.0 - flops_s / max(flops_d, 1.0)
+    return {
+        "flops_sparse": flops_s,
+        "flops_dense": flops_d,
+        "flop_reduction": round(flop_reduction, 4),
+        "latency_sparse_ms": round(lat_s, 3),
+        "latency_dense_ms": round(lat_d, 3),
+        "pass": flop_reduction >= entry.get("gate", 0.2),
+    }
 
 
 KINDS = {"latency": _latency, "sparse_parity": _sparse_parity, "expert_flops": _expert_flops}

@@ -10,14 +10,15 @@ Reference semantics (ultralytics/nn/modules/moe/modules.py:396-740):
   * GShard balance loss published per step (modules.py:664-701)
   * BN + SiLU output norm (modules.py:457-460)
 
-TPU-first recast: routing weights after (soft|hard) top-k are *exactly zero*
-for unselected experts, so the masked-dense sum equals the reference's sparse
-``index_add_`` dispatch to float tolerance — with fully static shapes. For the
-common small-E regime (E=3) the dense sum of cheap dwsep convs is both the
-parity path and the fast path on the MXU/VPU; real FLOP savings on TPU come
-from the batch-gather dispatch (``dispatch='gather'``) that computes each
-expert only on the sub-batch routed to it (capacity = B, no token dropping,
-matching the reference's drop-free per-sample routing).
+TPU-first recast: in training, routing weights after soft top-k are *exactly
+zero* for unselected experts, so the masked-dense sum equals the reference's
+sparse ``index_add_`` dispatch to float tolerance — with fully static shapes
+(needed for gradient flow anyway). In sparse eval the block switches to
+*gathered dispatch* (nn/moe/dispatch.py): expert params are stacked into
+[E, ...] banks (heterogeneous 3/5/7 dw kernels zero-padded to the max size,
+conv-exact) and only the [B, top_k] selected experts are computed — FLOPs
+scale with K, not E, matching the reference's drop-free per-sample routing
+with capacity = B and no token dropping.
 """
 
 from __future__ import annotations
@@ -126,14 +127,23 @@ class ES_MOE(Module):
         )
         if sparse_eval:
             w = self._sparse_retained_weights(w)
+            # Gathered dispatch: compute ONLY the top-k experts per sample.
+            # All experts share the dwsep structure; the 3/5/7 kernels are
+            # zero-padded to the max size (conv-exact), so the max-kernel
+            # expert module applies any gathered params.
+            from .dispatch import gather_dispatch, stack_expert_params, top_k_from_weights
 
-        # Masked-dense dispatch: zeros in w make this numerically identical to
-        # the reference's sparse index_add_ path while keeping static shapes.
-        out = None
-        for i, expert in enumerate(self.experts):
-            y = expert(p["experts"][str(i)], x, ctx)
-            wi = w[:, i][:, None, None, None].astype(y.dtype)
-            out = y * wi if out is None else out + y * wi
+            bank = stack_expert_params([p["experts"][str(i)] for i in range(self.num_experts)])
+            wts, idx = top_k_from_weights(w, self.top_k)
+            out = gather_dispatch(self.experts[self.num_experts - 1], bank, x, idx, wts, ctx)
+        else:
+            # Masked-dense dispatch: zeros in w make this numerically identical
+            # to the reference's sparse index_add_ path while keeping static shapes.
+            out = None
+            for i, expert in enumerate(self.experts):
+                y = expert(p["experts"][str(i)], x, ctx)
+                wi = w[:, i][:, None, None, None].astype(y.dtype)
+                out = y * wi if out is None else out + y * wi
 
         out = self.norm_bn(p["norm_bn"], out, ctx)
         return silu(out)

@@ -311,10 +311,21 @@ class OptimizedMOEImproved(Module):
             w = jax.lax.stop_gradient(w)
 
         shared = self.shared_expert(p["shared_expert"], x, ctx)
-        out = shared.astype(jnp.float32)
-        for i, expert in enumerate(self.experts):
-            y = expert(p["experts"][str(i)], x, ctx)
-            out = out + y.astype(jnp.float32) * w[:, i][:, None, None, None]
+        sparse_eval = not ctx.training and ctx.sparse_inference and self.top_k < self.num_experts
+        if sparse_eval:
+            # gathered dispatch: only the K selected experts are computed
+            # (reference eager sparse index_add_, modules.py:1089-1116)
+            from .dispatch import gather_dispatch, stack_expert_params, top_k_from_weights
+
+            bank = stack_expert_params([p["experts"][str(i)] for i in range(self.num_experts)])
+            wts, idx = top_k_from_weights(w, self.top_k)
+            routed = gather_dispatch(self.experts[0], bank, x, idx, wts, ctx)
+            out = shared.astype(jnp.float32) + routed.astype(jnp.float32)
+        else:
+            out = shared.astype(jnp.float32)
+            for i, expert in enumerate(self.experts):
+                y = expert(p["experts"][str(i)], x, ctx)
+                out = out + y.astype(jnp.float32) * w[:, i][:, None, None, None]
         out = out.astype(x.dtype)
         if self.add_residual and self.in_channels == self.out_channels:
             out = out + x
