@@ -72,9 +72,12 @@ def test_overfit_synthetic(synth_dataset, tmp_path):
         batch=8,
         imgsz=96,
         max_gt=8,
+        optimizer="SGD",
         warmup_epochs=0,
         lr0=0.02,
         lrf=0.1,
+        nbs=8,  # no accumulation: keep the round-1 regression baseline
+        amp=False,
         save_dir=str(tmp_path / "run"),
         hyp={"mosaic": 0.0},
         patience=1000,
@@ -124,3 +127,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(leaves1) == len(leaves2)
     for a, b in zip(leaves1, leaves2):
         assert jnp.allclose(a, b)
+
+
+@pytest.mark.slow
+def test_train_adamw_accumulate_bf16(synth_dataset, tmp_path):
+    """Round-2 trainer parity features in one smoke: optimizer=AdamW, grad
+    accumulation to nbs (2 loader batches per step), bf16 amp, cosine LR,
+    warmup momentum/bias-lr, Gini moe-gain schedule + routing history."""
+    from yolo_master_tpu.engine.trainer import DetectionTrainer
+    from yolo_master_tpu.nn.tasks import DetectionModel
+
+    class Stub:
+        pass
+
+    model = DetectionModel(MINI_CFG)
+    yolo = Stub()
+    yolo.model = model
+    yolo.params = model.init_params(0)
+    trainer = DetectionTrainer(
+        yolo,
+        data=synth_dataset,
+        epochs=30,
+        batch=4,
+        imgsz=96,
+        max_gt=8,
+        optimizer="AdamW",
+        lr0=0.002,
+        cos_lr=True,
+        warmup_epochs=1.0,
+        nbs=8,  # accumulate = 2
+        amp=True,
+        save_dir=str(tmp_path / "run2"),
+        hyp={"mosaic": 0.0},
+        patience=1000,
+        val=False,
+        close_mosaic=0,
+    )
+    assert trainer.accumulate == 2
+    out = trainer.train()
+    # the ES_MOE block must have produced routing stats + history
+    assert (tmp_path / "run2" / "routing_history.csv").exists()
+    from yolo_master_tpu.engine.validator import DetectionValidator
+
+    v = DetectionValidator(model=model, data=synth_dataset, imgsz=96, batch=8, max_gt=8)
+    m = v(params=trainer.state.ema_params)
+    assert m["mAP50"] > 0.3, f"AdamW+accumulate+bf16 training failed to learn: {m}"

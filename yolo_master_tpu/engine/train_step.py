@@ -50,6 +50,74 @@ def make_optimizer(lr_schedule, momentum: float = 0.937, weight_decay: float = 5
     return optax.chain(*txs)
 
 
+def param_group_labels(params):
+    """Reference 3-group optimizer split (engine/trainer.py build_optimizer):
+    g0 = >=2D weights (decayed), g1 = norm scales / other, g2 = biases
+    (own warmup LR starting at warmup_bias_lr)."""
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if name == "w" and getattr(node, "ndim", 0) >= 2:
+            return "decay"
+        if name in ("b", "bias"):
+            return "bias"
+        return "other"
+
+    return walk(params)
+
+
+def resolve_auto_optimizer(nc: int, iterations: float, lr0: float, momentum: float):
+    """'optimizer: auto' resolution (reference trainer.py build_optimizer):
+    short runs get AdamW with an nc-scaled LR, long runs SGD."""
+    if iterations > 10000:
+        return "SGD", lr0, momentum
+    return "AdamW", round(0.002 * 5 / (4 + nc), 6), 0.9
+
+
+def build_optimizer(
+    name: str,
+    lr_fn,
+    params,
+    momentum: float = 0.937,
+    weight_decay: float = 5e-4,
+    clip_norm: float = 10.0,
+    momentum_fn=None,
+    bias_lr_fn=None,
+) -> optax.GradientTransformation:
+    """Full reference-parity optimizer: per-group LRs (bias warmup), momentum
+    warmup schedule, decoupled weight decay on conv/linear weights only,
+    global-norm clip 10.0. ``name``: SGD | AdamW | Adam | RMSProp | Muon | MuSGD.
+    """
+    name = name.lower()
+    momentum_fn = momentum_fn or (lambda s: momentum)
+    bias_lr_fn = bias_lr_fn or lr_fn
+
+    def base(lr):
+        if name == "sgd":
+            return optax.inject_hyperparams(optax.sgd)(learning_rate=lr, momentum=momentum_fn, nesterov=True)
+        if name == "adamw" or name == "adam":
+            return optax.adam(lr, b1=momentum if momentum < 1 else 0.9)
+        if name == "rmsprop":
+            return optax.rmsprop(lr, momentum=momentum)
+        if name in ("muon", "musgd"):
+            from ..optim import muon
+
+            return optax.chain(muon(1.0, momentum=momentum), optax.scale_by_schedule(lambda c: lr(c) if callable(lr) else lr))
+        raise ValueError(f"unknown optimizer '{name}'")
+
+    labels = param_group_labels(params)
+    tx = optax.multi_transform(
+        {
+            "decay": optax.chain(optax.add_decayed_weights(weight_decay), base(lr_fn)),
+            "other": base(lr_fn),
+            "bias": base(bias_lr_fn),
+        },
+        labels,
+    )
+    return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+
+
 def make_train_state(model, seed: int = 0, lr=0.01, tx: Optional[optax.GradientTransformation] = None) -> TrainState:
     params = model.init_params(seed)
     if tx is None:
@@ -76,42 +144,55 @@ def make_train_step(
     compute_dtype=jnp.float32,
     ema_on: bool = True,
     accumulate: int = 1,
+    return_stats: bool = False,
+    traced_moe_gain: bool = False,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
     batch dict: images [B,H,W,3] float, boxes [B,M,4] xyxy px, classes [B,M],
     mask [B,M] bool. Under a mesh, the batch axis is sharded over 'data' and
     params are replicated; XLA inserts all gradient/BN/aux collectives.
+
+    With ``traced_moe_gain`` the step takes a third scalar arg overriding
+    hyp['moe'] — the epoch-level Gini/mAP-saturation schedulers adjust it
+    without recompiling (reference MixtureRuntimeController).
+    With ``return_stats`` the metrics include a ``moe_stats`` subtree of
+    per-block routing snapshots (Context.stats) for the usage tracker /
+    collapse detector / routing history.
     """
     hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "moe": 0.01, **(hyp or {})}
     if tx is None:
         tx = make_optimizer(0.01)
 
-    def loss_fn(params, batch, step_idx):
+    def loss_fn(params, batch, step_idx, moe_gain=None):
         ctx = Context(training=True, compute_dtype=compute_dtype, step=step_idx)
         x = batch["images"].astype(compute_dtype)
+        h = hyp if moe_gain is None else {**hyp, "moe": moe_gain}
         preds = model.forward_train(params, x, ctx)
-        total, metrics = model.compute_loss(preds, batch, ctx.total_aux(), hyp)
+        total, metrics = model.compute_loss(preds, batch, ctx.total_aux(), h)
+        if return_stats:
+            metrics = dict(metrics)
+            metrics["moe_stats"] = ctx.stats
         return total, (metrics, ctx.updates)
 
-    def grad_fn(params, batch, step_idx):
+    def grad_fn(params, batch, step_idx, moe_gain=None):
         """Gradients, optionally accumulated over micro-batches (the functional
         analog of the reference's nbs grad accumulation, trainer.py:649-666)."""
         if accumulate <= 1:
-            return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, step_idx)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, step_idx, moe_gain)
         micro = jax.tree_util.tree_map(
             lambda a: a.reshape(accumulate, a.shape[0] // accumulate, *a.shape[1:]), batch
         )
 
         def scan_body(carry, mb):
             acc_grads, acc_total, acc_metrics = carry
-            (total, (metrics, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, step_idx)
+            (total, (metrics, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, step_idx, moe_gain)
             acc_grads = jax.tree_util.tree_map(lambda a, g: a + g, acc_grads, grads)
             acc_metrics = jax.tree_util.tree_map(lambda a, m: a + m, acc_metrics, metrics) if acc_metrics else metrics
             return (acc_grads, acc_total + total, acc_metrics), updates
 
         first_mb = jax.tree_util.tree_map(lambda a: a[0], micro)
-        (total0, (metrics0, updates0)), grads0 = jax.value_and_grad(loss_fn, has_aux=True)(params, first_mb, step_idx)
+        (total0, (metrics0, updates0)), grads0 = jax.value_and_grad(loss_fn, has_aux=True)(params, first_mb, step_idx, moe_gain)
         carry = (grads0, total0, metrics0)
         for i in range(1, accumulate):
             mb = jax.tree_util.tree_map(lambda a: a[i], micro)
@@ -122,8 +203,8 @@ def make_train_step(
         metrics = jax.tree_util.tree_map(lambda m: m / k, metrics)
         return (total / k, (metrics, updates0)), grads
 
-    def step(state: TrainState, batch):
-        (total, (loss_metrics, bn_updates)), grads = grad_fn(state.params, batch, state.step)
+    def step(state: TrainState, batch, moe_gain=None):
+        (total, (loss_metrics, bn_updates)), grads = grad_fn(state.params, batch, state.step, moe_gain)
         # non-finite guard: skip the update on NaN/Inf loss (functional analog
         # of the reference's coordinated NaN recovery, trainer.py:1026,1392)
         finite = jnp.isfinite(total)
@@ -153,5 +234,6 @@ def make_train_step(
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))  # applies to every batch leaf
-        return jax.jit(step, in_shardings=(repl, data), out_shardings=(repl, repl), donate_argnums=(0,))
+        in_sh = (repl, data, repl) if traced_moe_gain else (repl, data)
+        return jax.jit(step, in_shardings=in_sh, out_shardings=(repl, repl), donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))

@@ -4,11 +4,21 @@ Single-program TPU training: no subprocess relaunch, no DDP wrapper — the
 jitted train step is sharded over a jax mesh (data axis) and XLA inserts all
 collectives (SURVEY.md §2.7 mapping). Reproduced trainer behaviors:
 
-  * warmup (warmup_epochs over steps, lr 0->lr0) + linear decay to lr0*lrf
-  * SGD nesterov momentum 0.937, weight decay on conv weights only
+  * optimizer selection: auto|SGD|AdamW|Adam|Muon (auto resolves by run length
+    and nc like the reference's build_optimizer, trainer.py:649-666)
+  * grad accumulation toward the nominal batch nbs=64 (accumulate loader
+    batches into one jitted super-batch step, micro-batched inside the jit)
+  * warmup: lr 0->lr0, bias lr warmup_bias_lr->lr, momentum warmup_momentum->
+    momentum (reference warmup loop); linear or cosine (cos_lr) decay to lrf
+  * amp: bf16 forward/backward by default (the TPU AMP analog; loss in fp32,
+    no GradScaler needed)
   * EMA with ramped decay; validation + fitness on EMA weights
   * best/last checkpointing, early stopping (patience on fitness)
-  * non-finite loss step-skip (functional NaN recovery, trainer.py:1392)
+  * non-finite loss step-skip + healthy-checkpoint recovery (trainer.py:1392)
+  * MoE runtime control (reference engine/extensions/mixture.py:22-90):
+    per-epoch routing usage tracking from Context.stats, routing history CSV,
+    collapse detection, Gini / mAP-saturation aux-gain schedulers feeding a
+    traced moe_gain back into the step without recompiling
 """
 
 from __future__ import annotations
@@ -23,13 +33,24 @@ import numpy as np
 import optax
 
 from ..data.dataset import DataLoader, YOLODataset
+from ..nn.moe.analysis import ExpertUsageTracker, RoutingCollapseDetector, RoutingHistory
+from ..nn.moe.scheduler import GiniBalanceScheduler, MapSaturationScheduler
 from ..utils import LOGGER
 from ..utils.checkpoint import save_params_npz, save_train_state
-from .train_step import TrainState, make_optimizer, make_train_state, make_train_step
+from .train_step import (
+    TrainState,
+    build_optimizer,
+    make_train_step,
+    resolve_auto_optimizer,
+)
 from .validator import DetectionValidator
 
 
 class DetectionTrainer:
+    dataset_cls = YOLODataset
+    validator_cls = DetectionValidator
+    task = "detect"
+
     def __init__(
         self,
         yolo,
@@ -37,11 +58,15 @@ class DetectionTrainer:
         epochs: int = 100,
         batch: int = 16,
         imgsz: int = 640,
+        optimizer: str = "auto",
         lr0: float = 0.01,
         lrf: float = 0.01,
+        cos_lr: bool = False,
         momentum: float = 0.937,
         weight_decay: float = 5e-4,
         warmup_epochs: float = 3.0,
+        warmup_momentum: float = 0.8,
+        warmup_bias_lr: float = 0.1,
         max_gt: int = 128,
         patience: int = 100,
         save_dir: str = "runs/train",
@@ -50,11 +75,13 @@ class DetectionTrainer:
         seed: int = 0,
         hyp: Optional[Dict] = None,
         save_period: int = -1,
-        compute_dtype=jnp.float32,
+        amp: bool = True,
+        compute_dtype=None,
         nbs: int = 64,
         resume: bool = False,
         tensorboard: bool = False,
         close_mosaic: int = 10,
+        moe_schedule: Optional[str] = "gini",
     ):
         self.yolo = yolo
         self.model = yolo.model
@@ -71,25 +98,58 @@ class DetectionTrainer:
         self.hyp = hyp or {}
         self.save_period = save_period
         self.close_mosaic = close_mosaic
+        compute_dtype = compute_dtype or (jnp.bfloat16 if amp else jnp.float32)
 
-        self.train_set = YOLODataset(data, split="train", imgsz=imgsz, max_gt=max_gt, augment=True, hyp=self.hyp)
+        self.train_set = self._build_dataset(data, "train")
         self.loader = DataLoader(self.train_set, batch, shuffle=True, seed=seed)
         nb = max(len(self.loader), 1)
-        warmup_steps = max(round(warmup_epochs * nb), 100) if warmup_epochs > 0 else 0
-        total_steps = self.epochs * nb
+        # grad accumulation toward the nominal batch (reference nbs=64,
+        # accumulate = max(round(nbs/batch), 1)): group `accumulate` loader
+        # batches into one super-batch step, micro-batched inside the jit
+        self.accumulate = max(1, min(round(nbs / batch), nb))
+        nb_opt = max(nb // self.accumulate, 1)  # optimizer steps per epoch
+        self.nb_opt = nb_opt
+        warmup_steps = max(round(warmup_epochs * nb_opt), 100) if warmup_epochs > 0 else 0
+
+        def decay_frac(step):
+            frac = jnp.clip(step / max(nb_opt * max(self.epochs, 1), 1), 0.0, 1.0)
+            if cos_lr:  # reference one_cycle lf
+                return lrf + (1.0 - lrf) * (1.0 + jnp.cos(jnp.pi * frac)) / 2.0
+            return (1.0 - frac) * (1.0 - lrf) + lrf
+
+        # optimizer: auto resolution by run length (reference build_optimizer)
+        opt_name, opt_lr0, opt_momentum = (
+            resolve_auto_optimizer(self.model.nc, self.epochs * nb_opt, lr0, momentum)
+            if optimizer == "auto"
+            else (optimizer, lr0, momentum)
+        )
+        if optimizer == "auto":
+            LOGGER.info(f"optimizer 'auto' -> {opt_name}(lr={opt_lr0}, momentum={opt_momentum})")
 
         def lr_schedule(step):
-            # linear warmup then per-epoch linear decay to lr0*lrf
-            # (reference trainer.py warmup + _setup_scheduler lf lambda)
-            warm = lr0 * jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
-            epoch_f = step / nb
-            frac = jnp.clip(epoch_f / max(self.epochs, 1), 0.0, 1.0)
-            decay = lr0 * ((1.0 - frac) * (1.0 - lrf) + lrf)
-            return jnp.where(step < warmup_steps, warm, decay)
+            warm = opt_lr0 * jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+            return jnp.where(step < warmup_steps, warm, opt_lr0 * decay_frac(step))
+
+        def bias_lr_schedule(step):
+            t = jnp.clip(step / jnp.maximum(warmup_steps, 1), 0.0, 1.0)
+            warm = warmup_bias_lr + t * (opt_lr0 - warmup_bias_lr)
+            return jnp.where(step < warmup_steps, warm, opt_lr0 * decay_frac(step))
+
+        def momentum_schedule(step):
+            t = jnp.clip(step / jnp.maximum(warmup_steps, 1), 0.0, 1.0)
+            return warmup_momentum + t * (opt_momentum - warmup_momentum)
 
         self.lr_schedule = lr_schedule
         params_template = yolo.params
-        self.tx = make_optimizer(lr_schedule, momentum=momentum, weight_decay=weight_decay, params=params_template)
+        self.tx = build_optimizer(
+            opt_name,
+            lr_schedule,
+            params_template,
+            momentum=opt_momentum,
+            weight_decay=weight_decay * batch * self.accumulate / nbs,  # reference wd scaling
+            momentum_fn=momentum_schedule if (warmup_steps and opt_name.lower() == "sgd") else None,
+            bias_lr_fn=bias_lr_schedule if warmup_steps else None,
+        )
         self.state = TrainState(
             params=yolo.params,
             opt_state=self.tx.init(yolo.params),
@@ -97,19 +157,23 @@ class DetectionTrainer:
             step=jnp.zeros((), jnp.int32),
             ema_updates=jnp.zeros((), jnp.float32),
         )
-        # grad accumulation toward the nominal batch size (reference nbs=64,
-        # trainer.py accumulate = max(round(nbs/batch), 1)); here micro-batching
-        # splits the loaded batch, so effective batch == loaded batch
-        accumulate = 1
         self.step_fn = make_train_step(
-            self.model, tx=self.tx, mesh=mesh, imgsz=imgsz, batch_per_step=batch, max_gt=max_gt,
-            hyp=self.hyp, compute_dtype=compute_dtype, accumulate=accumulate,
+            self.model, tx=self.tx, mesh=mesh, imgsz=imgsz, batch_per_step=batch * self.accumulate,
+            max_gt=max_gt, hyp=self.hyp, compute_dtype=compute_dtype, accumulate=self.accumulate,
+            return_stats=True, traced_moe_gain=True,
         )
         from ..utils.callbacks import default_callbacks
         from .recovery import TrainingRecoveryController
 
         self.callbacks = default_callbacks(str(self.save_dir), tensorboard=tensorboard)
         self.recovery = TrainingRecoveryController(self.model, str(self.save_dir), smoke_imgsz=min(imgsz, 64))
+        # MoE runtime control (reference MixtureRuntimeController)
+        self.moe_gain = float(self.hyp.get("moe", 0.01))
+        self.usage_tracker = ExpertUsageTracker()
+        self.collapse_detector = RoutingCollapseDetector()
+        self.routing_history = RoutingHistory(str(self.save_dir))
+        self.gini_sched = GiniBalanceScheduler(self.moe_gain) if moe_schedule == "gini" else None
+        self.map_sched = MapSaturationScheduler(self.moe_gain) if moe_schedule == "map" else None
         self.start_epoch = 0
         if resume:
             ckpt = self.save_dir / "state"
@@ -117,39 +181,75 @@ class DetectionTrainer:
                 from ..utils.checkpoint import load_train_state
 
                 self.state = load_train_state(str(ckpt), self.state)
-                self.start_epoch = int(self.state.step) // max(len(self.loader), 1)
+                self.start_epoch = int(self.state.step) // max(nb_opt, 1)
                 LOGGER.info(f"resumed from {ckpt} at epoch {self.start_epoch}")
-        self.validator = (
-            DetectionValidator(model=self.model, data=data, imgsz=imgsz, batch=min(batch, 8), max_gt=max_gt, mesh=mesh)
-            if val
-            else None
+        self.validator = self._build_validator() if val else None
+
+    def _build_dataset(self, data, split: str):
+        return self.dataset_cls(
+            data, split=split, imgsz=self.imgsz, max_gt=self.max_gt, augment=split == "train", hyp=self.hyp
         )
+
+    def _build_validator(self):
+        return self.validator_cls(
+            model=self.model, data=self.data, imgsz=self.imgsz, batch=min(self.batch, 8), max_gt=self.max_gt, mesh=self.mesh
+        )
+
+    def _super_batches(self, epoch: int):
+        """Group `accumulate` loader batches into one fixed-shape super-batch
+        per optimizer step (partial tail groups are dropped to keep shapes
+        static — the jit recompile would cost more than the leftover data)."""
+        buf = []
+        for b in self.loader.epoch(epoch):
+            buf.append(b)
+            if len(buf) == self.accumulate:
+                if self.accumulate == 1:
+                    yield buf[0]
+                else:
+                    yield {k: np.concatenate([x[k] for x in buf], 0) for k in buf[0]}
+                buf = []
 
     def train(self) -> Dict[str, float]:
         self.save_dir.mkdir(parents=True, exist_ok=True)
         best_fitness, best_epoch = -1.0, -1
         metrics_out: Dict[str, float] = {}
-        nb = len(self.loader)
-        LOGGER.info(f"training {self.epochs} epochs x {nb} steps, batch {self.batch}, imgsz {self.imgsz}")
+        nb_opt = self.nb_opt
+        LOGGER.info(
+            f"training {self.epochs} epochs x {nb_opt} steps, batch {self.batch}"
+            f"{f' x{self.accumulate} accumulated' if self.accumulate > 1 else ''}, imgsz {self.imgsz}"
+        )
         for epoch in range(self.start_epoch, self.epochs):
-            if self.close_mosaic and epoch >= self.epochs - self.close_mosaic and self.train_set.mosaic_enabled:
+            if self.close_mosaic and epoch >= self.epochs - self.close_mosaic and getattr(self.train_set, "mosaic_enabled", False):
                 self.train_set.mosaic_enabled = False  # reference close_mosaic
                 LOGGER.info("closing mosaic augmentation for final epochs")
             t0 = time.perf_counter()
             agg = {}
-            for batch in self.loader.epoch(epoch):
+            self.usage_tracker.reset()
+            gain = jnp.asarray(self.moe_gain, jnp.float32)
+            for batch in self._super_batches(epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                self.state, m = self.step_fn(self.state, batch)
+                self.state, m = self.step_fn(self.state, batch, gain)
+                stats = m.pop("moe_stats", None)
+                if stats:
+                    self.usage_tracker.update(jax.tree_util.tree_map(np.asarray, stats))
                 for k, v in m.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
-            agg = {k: v / max(nb, 1) for k, v in agg.items()}
+            agg = {k: v / max(nb_opt, 1) for k, v in agg.items()}
             lr_now = float(self.lr_schedule(self.state.step))
             LOGGER.info(
                 f"epoch {epoch + 1}/{self.epochs}  loss {agg.get('loss', 0):.4f} "
                 f"(box {agg.get('box_loss', 0):.3f} cls {agg.get('cls_loss', 0):.3f} "
                 f"dfl {agg.get('dfl_loss', 0):.3f} aux {agg.get('aux_loss', 0):.3f}) "
-                f"lr {lr_now:.5f}  {time.perf_counter() - t0:.1f}s"
+                f"lr {lr_now:.5f}  moe_gain {self.moe_gain:.4f}  {time.perf_counter() - t0:.1f}s"
             )
+            # MoE runtime control: history, collapse alarm, gain schedule
+            usage = self.usage_tracker.mean_usage()
+            if usage:
+                self.routing_history.record(epoch, usage)
+                for alarm in self.collapse_detector.check(usage):
+                    LOGGER.warning(f"routing collapse: {alarm}")
+                if self.gini_sched is not None:
+                    self.moe_gain = self.gini_sched.update(usage)
             # coordinated NaN recovery (reference recovery.py / trainer.py:1392)
             self.state, recovered = self.recovery.maybe_recover(self.state, agg)
             if not recovered:
@@ -158,6 +258,8 @@ class DetectionTrainer:
             if self.validator is not None:
                 metrics_out = self.validator(params=self.state.ema_params)
                 fit = metrics_out.get("fitness", 0.0)
+                if self.map_sched is not None:
+                    self.moe_gain = self.map_sched.update(metrics_out.get("mAP50-95", 0.0))
                 if fit > best_fitness:
                     best_fitness, best_epoch = fit, epoch
                     save_params_npz(self.state.ema_params, self.save_dir / "best.npz")
@@ -166,6 +268,7 @@ class DetectionTrainer:
                     break
             if self.save_period > 0 and (epoch + 1) % self.save_period == 0:
                 save_train_state(self.state, self.save_dir / "state")
+        self.routing_history.save()
         save_params_npz(self.state.ema_params, self.save_dir / "last.npz")
         self.yolo.params = self.state.ema_params
         metrics_out["best_fitness"] = best_fitness

@@ -62,10 +62,12 @@ class _TaskValidator:
     dataset_cls = None
 
     def __init__(self, model, params=None, data=None, imgsz: int = 640, batch: int = 8,
-                 conf: float = 0.001, iou: float = 0.7, max_det: int = 300, max_gt: int = 64, **dkw):
+                 conf: float = 0.001, iou: float = 0.7, max_det: int = 300, max_gt: int = 64,
+                 mesh=None, **dkw):
         self.model = model
         self.params = params
         self.data = data
+        self.mesh = mesh  # accepted for trainer parity; loop is single-host
         self.imgsz, self.batch = imgsz, batch
         self.conf, self.iou, self.max_det = conf, iou, max_det
         self.max_gt = max_gt
