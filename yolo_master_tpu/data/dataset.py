@@ -481,6 +481,55 @@ class OBBDataset(YOLODataset):
         return out
 
 
+class SemanticDataset(YOLODataset):
+    """Per-pixel semantic segmentation dataset (reference data/dataset.py:692
+    SemanticDataset): images + same-stem PNG masks of integer class ids under
+    the labels dir. Batches carry ``sem_mask`` [B, H, W] int32 (letterbox
+    padding marked 255 = out-of-range, which one-hots to all-zeros in the
+    BCE-Dice loss)."""
+
+    @staticmethod
+    def _load_label(path: str) -> np.ndarray:
+        return np.zeros((0, 5), np.float32)  # masks are read in load_sample
+
+    def load_sample(self, idx: int, rng: random.Random):
+        import cv2
+
+        im = cv2.imread(self.img_files[idx])
+        if im is None:
+            raise FileNotFoundError(self.img_files[idx])
+        mask_path = str(Path(img2label_path(self.img_files[idx])).with_suffix(".png"))
+        m = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            m = np.zeros(im.shape[:2], np.uint8)
+        s = self.imgsz
+        h0, w0 = im.shape[:2]
+        r = min(s / h0, s / w0)
+        nh, nw = round(h0 * r), round(w0 * r)
+        im = cv2.resize(im, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+        canvas = np.full((s, s, 3), 114, np.uint8)
+        mcanvas = np.full((s, s), 255, np.uint8)
+        top, left = (s - nh) // 2, (s - nw) // 2
+        canvas[top : top + nh, left : left + nw] = im
+        mcanvas[top : top + nh, left : left + nw] = m
+        if self.augment and rng.random() < 0.5:
+            canvas, mcanvas = canvas[:, ::-1], mcanvas[:, ::-1]
+        return np.ascontiguousarray(canvas), np.ascontiguousarray(mcanvas)
+
+    def collate_batch(self, samples):
+        B = len(samples)
+        H = W = self.imgsz
+        out = {
+            "images": np.zeros((B, H, W, 3), np.float32),
+            "sem_mask": np.zeros((B, H, W), np.int32),
+        }
+        for i, (im, m) in enumerate(samples):
+            out["images"][i] = im.astype(np.float32) / 255.0
+            out["sem_mask"][i] = m.astype(np.int32)
+        return out
+
+
 class ClassificationDataset:
     """Folder-per-class dataset (reference data/dataset.py:974)."""
 

@@ -254,3 +254,103 @@ class OBBValidator(_TaskValidator):
         box = self._ap_from(stats["box"])
         return {"mAP50": box["mAP50"], "mAP50-95": box["mAP50-95"],
                 "fitness": 0.9 * box["mAP50-95"] + 0.1 * box["mAP50"]}
+
+
+class ClassificationValidator:
+    """Top-1/top-5 accuracy (reference models/yolo/classify/val.py)."""
+
+    def __init__(self, model, params=None, data=None, imgsz: int = 224, batch: int = 16, mesh=None, **kw):
+        self.model = model
+        self.params = params
+        self.data = data
+        self.imgsz, self.batch = imgsz, batch
+        self._fn = None
+
+    def __call__(self, params=None, dataset=None) -> Dict[str, float]:
+        from pathlib import Path
+
+        from ..data.dataset import ClassificationDataset
+
+        params = params if params is not None else self.params
+        ds = dataset or ClassificationDataset(str(Path(self.data) / "val"), imgsz=self.imgsz)
+        loader = DataLoader(ds, self.batch, shuffle=False)
+        if self._fn is None:
+            model = self.model
+            self._fn = jax.jit(lambda p, x: model.forward_train(p, x, Context(training=False)))
+        correct1 = correct5 = seen = 0
+        t0 = time.perf_counter()
+        for batch in loader.epoch(0):
+            logits = np.asarray(self._fn(params, jnp.asarray(batch["images"])))
+            order = np.argsort(-logits, -1)
+            for i in range(logits.shape[0]):
+                if seen >= len(ds):
+                    break
+                y = int(batch["classes"][i])
+                correct1 += int(order[i, 0] == y)
+                correct5 += int(y in order[i, :5])
+                seen += 1
+        res = {
+            "top1": correct1 / max(seen, 1),
+            "top5": correct5 / max(seen, 1),
+            "fitness": correct1 / max(seen, 1),
+            "images": seen,
+            "sec": time.perf_counter() - t0,
+        }
+        LOGGER.info(f"ClassificationValidator: {res}")
+        return res
+
+
+class SemanticValidator:
+    """Pixel accuracy + mean IoU over classes (reference semantic val)."""
+
+    def __init__(self, model, params=None, data=None, imgsz: int = 640, batch: int = 8, max_gt: int = 0, mesh=None, **kw):
+        self.model = model
+        self.params = params
+        self.data = data
+        self.imgsz, self.batch = imgsz, batch
+        self._fn = None
+
+    def __call__(self, params=None, dataset=None) -> Dict[str, float]:
+        from ..data.dataset import SemanticDataset
+
+        params = params if params is not None else self.params
+        ds = dataset or SemanticDataset(self.data, split="val", imgsz=self.imgsz, augment=False)
+        loader = DataLoader(ds, self.batch, shuffle=False)
+        if self._fn is None:
+            model = self.model
+            self._fn = jax.jit(lambda p, x: model.forward_predict(p, x, Context(training=False)))
+        nc = self.model.nc
+        inter = np.zeros(nc)
+        union = np.zeros(nc)
+        correct = total = 0
+        seen = 0
+        t0 = time.perf_counter()
+        for batch in loader.epoch(0):
+            pred = np.asarray(self._fn(params, jnp.asarray(batch["images"])))  # [B, h, w, nc] logits
+            lab = np.argmax(pred, -1)
+            gt = batch["sem_mask"]
+            if lab.shape[1:] != gt.shape[1:]:  # logits at stride: nearest-upsample
+                ry, rx = gt.shape[1] // lab.shape[1], gt.shape[2] // lab.shape[2]
+                lab = np.repeat(np.repeat(lab, ry, 1), rx, 2)[:, : gt.shape[1], : gt.shape[2]]
+            for i in range(lab.shape[0]):
+                if seen >= len(ds):
+                    break
+                valid = gt[i] != 255
+                correct += int((lab[i][valid] == gt[i][valid]).sum())
+                total += int(valid.sum())
+                for c in range(nc):
+                    pi, gi = lab[i][valid] == c, gt[i][valid] == c
+                    inter[c] += int((pi & gi).sum())
+                    union[c] += int((pi | gi).sum())
+                seen += 1
+        present = union > 0
+        miou = float((inter[present] / np.maximum(union[present], 1)).mean()) if present.any() else 0.0
+        res = {
+            "pixel_acc": correct / max(total, 1),
+            "mIoU": miou,
+            "fitness": miou,
+            "images": seen,
+            "sec": time.perf_counter() - t0,
+        }
+        LOGGER.info(f"SemanticValidator: {res}")
+        return res

@@ -125,24 +125,27 @@ class YOLO:
 
     # -- training / validation (engine milestones) -------------------------------
     def train(self, **kwargs):
-        from ..engine.trainer import DetectionTrainer
+        """Per-task trainer dispatch (reference task_map, models/yolo/model.py:88)."""
+        from ..engine.trainers_task import TASK_TRAINERS
 
-        trainer = DetectionTrainer(self, **kwargs)
+        trainer_cls = TASK_TRAINERS.get(self.task)
+        if trainer_cls is None:
+            raise NotImplementedError(f"no trainer for task '{self.task}'")
+        trainer = trainer_cls(self, **kwargs)
         return trainer.train()
 
     def val(self, **kwargs):
-        if self.task == "segment":
-            from ..engine.validators_task import SegmentationValidator
+        if self.task in ("segment", "pose", "obb", "classify", "semantic"):
+            from ..engine import validators_task as vt
 
-            return SegmentationValidator(self.model, params=self.params, **kwargs)()
-        if self.task == "pose":
-            from ..engine.validators_task import PoseValidator
-
-            return PoseValidator(self.model, params=self.params, **kwargs)()
-        if self.task == "obb":
-            from ..engine.validators_task import OBBValidator
-
-            return OBBValidator(self.model, params=self.params, **kwargs)()
+            cls = {
+                "segment": vt.SegmentationValidator,
+                "pose": vt.PoseValidator,
+                "obb": vt.OBBValidator,
+                "classify": vt.ClassificationValidator,
+                "semantic": vt.SemanticValidator,
+            }[self.task]
+            return cls(self.model, params=self.params, **kwargs)()
         from ..engine.validator import DetectionValidator
 
         validator = DetectionValidator(self, **kwargs)
