@@ -78,8 +78,23 @@ def export_model(
     base = output or f"{getattr(model, 'yaml_file', Path('model')).__str__().rsplit('/', 1)[-1].replace('.yaml', '')}"
     out_path = Path(output) if output else Path(f"{base}{info['suffix']}")
 
+    # metadata sidecar consumed by AutoBackend (reference embeds metadata in
+    # every artifact, exporter.py:536 "metadata" arg)
+    meta = {
+        "format": fmt,
+        "imgsz": imgsz,
+        "nc": model.nc,
+        "nms": nms,
+        "max_det": max_det,
+        "layout": "NHWC",
+        "task": getattr(model, "task", "detect"),
+        "model": str(getattr(model, "yaml_file", "") or ""),
+        "output": "[B,max_det,6]" if nms else "[B,A,4+nc]",
+    }
+
     if fmt == "npz":
         save_params_npz(params, str(out_path), metadata={"imgsz": imgsz, "nc": model.nc})
+        Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
     infer, example = _build_infer_fn(model, params, imgsz, nms, max_det=max_det)
@@ -89,7 +104,6 @@ def export_model(
 
         exported = jexport.export(jax.jit(infer))(jax.ShapeDtypeStruct(example.shape, example.dtype))
         out_path.write_bytes(exported.serialize())
-        meta = {"imgsz": imgsz, "nc": model.nc, "nms": nms, "layout": "NHWC", "output": "[B,max_det,6]" if nms else "[B,A,4+nc]"}
         Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
@@ -107,6 +121,7 @@ def export_model(
         module = tf.Module()
         module.infer = tf_fn
         tf.saved_model.save(module, str(out_path), signatures={"serving_default": tf_fn})
+        (out_path / "ymt_metadata.json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
     if fmt == "tflite":
@@ -116,6 +131,7 @@ def export_model(
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
         blob = converter.convert()
         out_path.write_bytes(blob)
+        Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
     raise AssertionError("unreachable")

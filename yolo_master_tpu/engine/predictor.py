@@ -60,8 +60,8 @@ class DetectionPredictor:
 
     def __init__(
         self,
-        model,
-        params,
+        model=None,
+        params=None,
         names: Optional[Dict[int, str]] = None,
         imgsz: int = 640,
         conf: float = 0.25,
@@ -72,10 +72,17 @@ class DetectionPredictor:
         classes: Optional[Sequence[int]] = None,
         compute_dtype=jnp.float32,
         batch: int = 1,
+        backend=None,
     ):
+        self.backend = backend  # AutoBackend for exported artifacts
+        if backend is not None:
+            model = backend.model if backend.model is not None else model
+            params = backend.params if backend.params is not None else params
+            imgsz = backend.imgsz or imgsz
         self.model = model
         self.params = params
-        self.names = names or {i: str(i) for i in range(model.nc)}
+        nc = model.nc if model is not None else backend.nc
+        self.names = names or {i: str(i) for i in range(nc)}
         self.imgsz = imgsz if isinstance(imgsz, (tuple, list)) else (imgsz, imgsz)
         self.conf, self.iou = conf, iou
         self.max_det, self.max_nms = max_det, max_nms
@@ -84,13 +91,17 @@ class DetectionPredictor:
         self.batch = batch
         self.class_mask = None
         if classes is not None:
-            m = np.zeros((model.nc,), np.float32)
+            m = np.zeros((nc,), np.float32)
             m[list(classes)] = 1.0
             self.class_mask = jnp.asarray(m)
         self._jitted = {}
 
     # -- device graph --------------------------------------------------------
     def _get_fn(self, bs: int):
+        if self.backend is not None and self.backend.kind not in ("native", "npz"):
+            # exported-artifact path: external runtime forward + jitted NMS
+            be, conf, iou, max_det, max_nms = self.backend, self.conf, self.iou, self.max_det, self.max_nms
+            return lambda params, x: be.detect(np.asarray(x, np.float32), conf=conf, iou=iou, max_det=max_det, max_nms=max_nms)
         if bs not in self._jitted:
             end2end = self.model.head.end2end
 
@@ -138,38 +149,60 @@ class DetectionPredictor:
         x = np.stack(processed).astype(np.float32) / 255.0
         return x, meta
 
-    def __call__(self, source, stream: bool = False) -> List[Results]:
-        items = expand_source(source)
-        results: List[Results] = []
-        for start in range(0, len(items), self.batch):
-            chunk = items[start : start + self.batch]
-            paths, images = [], []
-            for path, arr in chunk:
-                paths.append(path)
-                images.append(arr if arr is not None else load_image(path))
-            t0 = time.perf_counter()
-            x, meta = self.preprocess(images)
-            t1 = time.perf_counter()
-            bs = x.shape[0]
-            # power-of-two bucketing (capped at self.batch): ragged tail
-            # batches pad up to a bucket instead of triggering a fresh compile
-            pad_to = min(self.batch, 1 << (bs - 1).bit_length())
-            if pad_to != bs:
-                x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
-            det = self._get_fn(pad_to)(self.params, jnp.asarray(x, self.compute_dtype))
-            det = jax.tree_util.tree_map(np.asarray, det)
-            t2 = time.perf_counter()
-            for i in range(bs):
-                results.append(
-                    self._build_result(paths[i], images[i], meta[i], jax.tree_util.tree_map(lambda a: a[i], det))
-                )
-            t3 = time.perf_counter()
-            for i in range(bs):
-                results[start + i].speed = {
-                    "preprocess": (t1 - t0) / bs * 1e3,
-                    "inference": (t2 - t1) / bs * 1e3,
-                    "postprocess": (t3 - t2) / bs * 1e3,
-                }
+    def __call__(self, source, stream: bool = False, vid_stride: int = 1, stream_frames: Optional[int] = None):
+        """Run inference over any source (images/dirs/globs/arrays/video files/
+        RTSP/webcam/tensors — reference data/loaders.py:53-565 via
+        data/loaders.py here). ``stream=True`` returns a generator that yields
+        Results as frames arrive (the reference's stream_inference)."""
+        gen = self._stream_results(source, vid_stride, stream_frames)
+        return gen if stream else list(gen)
+
+    def _stream_results(self, source, vid_stride: int, stream_frames: Optional[int]):
+        from ..data.loaders import load_inference_source
+
+        loader = load_inference_source(source, vid_stride=vid_stride, stream_frames=stream_frames)
+        buf = []
+        for item in loader:
+            frames = item if isinstance(item, list) else [item]
+            live = frames and frames[0].stream
+            for f in frames:
+                buf.append(f)
+                if len(buf) == self.batch:
+                    yield from self._run_batch(buf)
+                    buf = []
+            if live and buf:
+                # flush live streams every tick: latency beats batching there
+                yield from self._run_batch(buf)
+                buf = []
+        if buf:
+            yield from self._run_batch(buf)
+
+    def _run_batch(self, frames) -> List[Results]:
+        t0 = time.perf_counter()
+        images = [f.image for f in frames]
+        x, meta = self.preprocess(images)
+        t1 = time.perf_counter()
+        bs = x.shape[0]
+        # power-of-two bucketing (capped at self.batch): ragged tail
+        # batches pad up to a bucket instead of triggering a fresh compile
+        pad_to = min(self.batch, 1 << (bs - 1).bit_length())
+        if pad_to != bs:
+            x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
+        det = self._get_fn(pad_to)(self.params, jnp.asarray(x, self.compute_dtype))
+        det = jax.tree_util.tree_map(np.asarray, det)
+        t2 = time.perf_counter()
+        results = []
+        for i in range(bs):
+            r = self._build_result(frames[i].path, images[i], meta[i], jax.tree_util.tree_map(lambda a: a[i], det))
+            r.frame = frames[i].frame_idx
+            results.append(r)
+        t3 = time.perf_counter()
+        for r in results:
+            r.speed = {
+                "preprocess": (t1 - t0) / bs * 1e3,
+                "inference": (t2 - t1) / bs * 1e3,
+                "postprocess": (t3 - t2) / bs * 1e3,
+            }
         return results
 
     def _build_result(self, path, orig_img, meta, det) -> Results:

@@ -48,10 +48,15 @@ class DetectionValidator:
         mesh=None,
         use_ema: bool = True,
         save_json: Optional[str] = None,
+        backend=None,
     ):
         if yolo is not None:
             model = yolo.model
             params = params if params is not None else yolo.params
+        self.backend = backend  # AutoBackend: validate exported artifacts
+        if backend is not None:
+            model = backend.model if backend.model is not None else model
+            params = backend.params if backend.params is not None else params
         self.model = model
         self.params = params
         self.data = data
@@ -65,6 +70,14 @@ class DetectionValidator:
         self._fn = None
 
     def _jit_fn(self):
+        if self.backend is not None and self.backend.kind not in ("native", "npz"):
+            be = self.backend
+            if be.nms_embedded:
+                LOGGER.warning("validating an NMS-embedded export: its baked conf/iou replace val thresholds")
+            return lambda params, x: be.detect(
+                np.asarray(x, np.float32), conf=self.conf, iou=self.iou,
+                max_det=self.max_det, max_nms=self.max_nms, multi_label=True,
+            )
         if self._fn is None:
             model, conf, iou = self.model, self.conf, self.iou
             max_det, max_nms = self.max_det, self.max_nms

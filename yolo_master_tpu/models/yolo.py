@@ -45,13 +45,22 @@ class YOLO:
         self.task = task
         self.names: Dict[int, str] = dict(COCO_NAMES)
         self.ckpt_path = None
+        self.backend = None
         model = str(model)
         if model.endswith(".pt"):
             raise NotImplementedError(
                 "loading reference .pt directly by path: use YOLO(name).load_torch(path) with the matching yaml"
             )
-        if model.endswith((".npz", ".ckpt")):
-            raise NotImplementedError("native checkpoint loading lands with the trainer")
+        if model.endswith((".npz", ".tflite", ".stablehlo")) or Path(model).is_dir():
+            # exported artifact -> AutoBackend (reference nn/autobackend.py:89)
+            from ..nn.autobackend import AutoBackend
+
+            self.backend = AutoBackend(model)
+            self.model = self.backend.model  # None for non-native runtimes
+            self.model_name = model
+            self.params = self.backend.params
+            self._predictor = None
+            return
         if task not in TASK_MODELS:
             raise KeyError(f"unknown task '{task}' (choices: {list(TASK_MODELS)})")
         self.model = TASK_MODELS[task](model, nc=nc)
@@ -86,20 +95,22 @@ class YOLO:
         return self
 
     # -- inference ---------------------------------------------------------------
-    def predict(self, source, **kwargs):
+    def predict(self, source, stream: bool = False, vid_stride: int = 1, **kwargs):
         pred_keys = {"imgsz", "conf", "iou", "max_det", "max_nms", "agnostic_nms", "classes", "batch", "compute_dtype"}
         cfg = {k: v for k, v in kwargs.items() if k in pred_keys}
         if self._predictor is None or cfg:
-            self._predictor = DetectionPredictor(self.model, self.params, names=self.names, **cfg)
+            self._predictor = DetectionPredictor(self.model, self.params, names=self.names, backend=self.backend, **cfg)
         self._predictor.params = self.params
-        return self._predictor(source)
+        return self._predictor(source, stream=stream, vid_stride=vid_stride)
 
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 
-    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs):
-        """Frame-sequence tracking: predict per frame then associate
-        (reference trackers/track.py predictor callbacks)."""
+    def track(self, source, tracker: str = "bytetrack", persist: bool = False, stream: bool = False,
+              vid_stride: int = 1, **kwargs):
+        """Frame-sequence tracking over any source incl. video files and live
+        streams (reference trackers/track.py predictor callbacks): predict per
+        frame, associate in arrival order."""
         from ..trackers import TRACKER_MAP
 
         if not persist or not hasattr(self, "_tracker") or self._tracker is None:
@@ -112,16 +123,19 @@ class YOLO:
             )
         from ..trackers.bot_sort import BOTSORT
 
-        results = self.predict(source, **kwargs)
-        for r in results:
-            if r.boxes is None or len(r.boxes) == 0:
-                r.tracks = np.zeros((0, 7), np.float32)
-                continue
-            if isinstance(self._tracker, BOTSORT):
-                r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, img=r.orig_img)
-            else:
-                r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls)
-        return results
+        results_iter = self.predict(source, stream=True, vid_stride=vid_stride, **kwargs)
+
+        def associate():
+            for r in results_iter:
+                if r.boxes is None or len(r.boxes) == 0:
+                    r.tracks = np.zeros((0, 7), np.float32)
+                elif isinstance(self._tracker, BOTSORT):
+                    r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, img=r.orig_img)
+                else:
+                    r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls)
+                yield r
+
+        return associate() if stream else list(associate())
 
     # -- training / validation (engine milestones) -------------------------------
     def train(self, **kwargs):
@@ -148,8 +162,67 @@ class YOLO:
             return cls(self.model, params=self.params, **kwargs)()
         from ..engine.validator import DetectionValidator
 
+        if self.backend is not None:
+            return DetectionValidator(backend=self.backend, **kwargs)()
         validator = DetectionValidator(self, **kwargs)
         return validator()
+
+    def export(self, format: str = "saved_model", imgsz: int = 640, nms: bool = True, output=None, **kwargs) -> str:
+        """Export the model to a deployment artifact (reference Model.export,
+        engine/model.py:769). Returns the artifact path, loadable back via
+        YOLO(path) through AutoBackend."""
+        from ..engine.exporter import export_model
+
+        return export_model(self.model, self.params, fmt=format, imgsz=imgsz, nms=nms, output=output, **kwargs)
+
+    def benchmark(self, imgsz: int = 640, formats=("npz", "saved_model", "tflite", "stablehlo"), data=None, **kwargs) -> Dict[str, dict]:
+        """Export to each format and time (+ optionally validate) it
+        (reference utils/benchmarks.py benchmark())."""
+        import tempfile
+        import time as _t
+
+        out: Dict[str, dict] = {}
+        x = np.random.default_rng(0).uniform(0, 1, (1, imgsz, imgsz, 3)).astype(np.float32)
+        for fmt in formats:
+            try:
+                with tempfile.TemporaryDirectory() as td:
+                    from ..engine.exporter import EXPORT_FORMATS
+                    from ..nn.autobackend import AutoBackend
+
+                    path = self.export(format=fmt, imgsz=imgsz, nms=False,
+                                       output=str(Path(td) / ("m" + EXPORT_FORMATS[fmt]["suffix"])))
+                    be = AutoBackend(path, model=self.model)
+                    be(x)  # warmup
+                    t0 = _t.perf_counter()
+                    for _ in range(3):
+                        be(x)
+                    ms = (_t.perf_counter() - t0) / 3 * 1e3
+                    entry = {"ok": True, "latency_ms": round(ms, 2)}
+                    if data is not None:
+                        entry["metrics"] = self.val(data=data, **kwargs) if be.kind in ("native", "npz") else \
+                            __import__("yolo_master_tpu.engine.validator", fromlist=["DetectionValidator"]).DetectionValidator(
+                                backend=be, data=data, imgsz=imgsz)()
+                    out[fmt] = entry
+            except Exception as e:  # noqa: BLE001
+                out[fmt] = {"ok": False, "error": str(e)}
+        return out
+
+    def tune(self, data: str, iterations: int = 10, epochs: int = 10, save_dir: str = "runs/tune", **kwargs):
+        """Hyperparameter evolution (reference Model.tune -> engine/tuner.py):
+        each trial re-initializes weights, trains with the mutated hyp set, and
+        reports fitness back to the mutation loop."""
+        from ..engine.tuner import Tuner
+
+        trainer_keys = ("lr0", "lrf", "momentum", "weight_decay", "warmup_epochs")
+
+        def train_fn(hyp: Dict[str, float]) -> float:
+            h = dict(hyp)
+            tkw = {k: h.pop(k) for k in trainer_keys if k in h}
+            self.params = self.model.init_params(0)  # fresh weights per trial
+            out = self.train(data=data, epochs=epochs, hyp=h, save_dir=f"{save_dir}/trial", **tkw, **kwargs)
+            return float(out.get("best_fitness", out.get("fitness", 0.0)))
+
+        return Tuner(train_fn, save_dir=save_dir)(iterations)
 
     def info(self):
         n = self.model.num_params(self.params)

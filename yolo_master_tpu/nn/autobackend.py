@@ -1,0 +1,157 @@
+"""AutoBackend: one inference interface over every artifact the exporter
+writes (reference: ultralytics/nn/autobackend.py:89 + nn/backends/base.py:41).
+
+Dispatch by artifact:
+  * native      — (model, params) pair, jitted forward+decode on TPU
+  * npz         — weights-only checkpoint rebuilt into the named model
+  * saved_model — TF SavedModel via the TF runtime
+  * tflite      — TFLite flatbuffer via tf.lite.Interpreter
+  * stablehlo   — portable bytecode re-hydrated with jax.export
+
+Every backend exposes ``__call__(x: [B,H,W,3] float32 NHWC in [0,1]) ->
+np.ndarray`` returning either decoded predictions ``[B, A, 4+nc]`` (when the
+graph was exported without NMS) or final detections ``[B, max_det, 6]``
+(NMS embedded). ``nms_embedded`` tells the consumer which; predict/val run
+their own NMS only in the first case — this is how the reference validates
+the mAP of every export format.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class AutoBackend:
+    def __init__(self, weights=None, model=None, params=None, nc: Optional[int] = None):
+        self.kind = None
+        self.meta = {}
+        self._fn = None
+        self.model = model
+        self.params = params
+
+        if weights is None:
+            assert model is not None and params is not None, "native backend needs model+params"
+            self.kind = "native"
+            self.nms_embedded = False
+            self.nc = model.nc
+            self.imgsz = None
+            return
+
+        path = Path(str(weights))
+        meta = self._read_meta(path)
+        self.meta = meta
+        self.nc = int(meta.get("nc", nc or 80))
+        self.imgsz = meta.get("imgsz")
+        self.nms_embedded = bool(meta.get("nms", False))
+
+        if path.is_dir():  # SavedModel
+            self.kind = "saved_model"
+            import tensorflow as tf
+
+            self._tf_model = tf.saved_model.load(str(path))
+            self._fn = self._tf_model.signatures["serving_default"]
+        elif path.suffix == ".tflite":
+            self.kind = "tflite"
+            import tensorflow as tf
+
+            self._interp = tf.lite.Interpreter(model_path=str(path))
+            self._interp.allocate_tensors()
+            self._in = self._interp.get_input_details()[0]
+            self._outs = self._interp.get_output_details()
+        elif path.suffix == ".stablehlo":
+            self.kind = "stablehlo"
+            from jax import export as jexport
+
+            self._exported = jexport.deserialize(path.read_bytes())
+        elif path.suffix == ".npz":
+            self.kind = "npz"
+            from ..utils.checkpoint import load_params_npz
+
+            if model is None:
+                name = meta.get("model", "")
+                if not name:
+                    raise ValueError("npz backend needs the model (no model name in metadata)")
+                from .tasks import DetectionModel
+
+                model = DetectionModel(name.replace(".yaml", ""), nc=self.nc)
+            self.model = model
+            self.params = load_params_npz(str(path))
+            self.nms_embedded = False
+        else:
+            raise ValueError(f"unrecognized artifact: {weights}")
+
+    @staticmethod
+    def _read_meta(path: Path) -> dict:
+        for cand in (Path(str(path) + ".json"), path / "ymt_metadata.json" if path.is_dir() else None):
+            if cand and cand.exists():
+                return json.loads(cand.read_text())
+        return {}
+
+    # -- unified forward -------------------------------------------------------
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        """x: [B, H, W, 3] float32 NHWC in [0,1] -> decoded preds or detections."""
+        if self.kind in ("native", "npz"):
+            import jax
+
+            if self._fn is None:
+                import jax.numpy as jnp
+
+                from .module import Context
+
+                model = self.model
+
+                def run(p, xx):
+                    return model.forward_predict(p, xx, Context(training=False))
+
+                self._fn = jax.jit(run)
+            return np.asarray(self._fn(self.params, x))
+        if self.kind == "saved_model":
+            import tensorflow as tf
+
+            out = self._fn(images=tf.constant(np.asarray(x, np.float32)))
+            return next(iter(out.values())).numpy()
+        if self.kind == "tflite":
+            out = []
+            xin = np.asarray(x, self._in["dtype"])
+            for i in range(xin.shape[0]):  # tflite graphs are bs-1 static
+                self._interp.set_tensor(self._in["index"], xin[i : i + 1])
+                self._interp.invoke()
+                out.append(self._interp.get_tensor(self._outs[0]["index"]))
+            return np.concatenate(out, 0)
+        if self.kind == "stablehlo":
+            import jax
+
+            outs = []
+            for i in range(np.asarray(x).shape[0]):  # exported with bs-1 example
+                outs.append(np.asarray(self._exported.call(np.asarray(x[i : i + 1], np.float32))))
+            return np.concatenate(outs, 0)
+        raise AssertionError(self.kind)
+
+    def detect(self, x: np.ndarray, conf: float = 0.25, iou: float = 0.45, max_det: int = 300, max_nms: int = 2048, multi_label: bool = False) -> dict:
+        """Full detection: backend forward + (host-side jitted) NMS when the
+        graph didn't embed it. Returns the NMS dict contract
+        (boxes/scores/classes/valid)."""
+        out = self(x)
+        if self.nms_embedded:
+            boxes, scores, classes = out[..., :4], out[..., 4], out[..., 5]
+            valid = scores > conf
+            return {
+                "boxes": boxes,
+                "scores": scores * valid,
+                "classes": np.where(valid, classes, -1.0),
+                "valid": valid,
+            }
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.nms import non_max_suppression
+
+        det = non_max_suppression(
+            jnp.asarray(out), nc=self.nc, conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=max_nms,
+            multi_label=multi_label,
+        )
+        return jax.tree_util.tree_map(np.asarray, det)
