@@ -133,3 +133,66 @@ def test_sparse_sahi_skips_blank_tiles(mini_model):
     assert pred.last_stats["tiles"] == len(tiles)
     assert pred.last_stats["skip_ratio"] == 1.0  # random model scores < 0.9 -> all skipped
     assert res.orig_shape == (1280, 1920)
+
+
+def test_mixture_aux_composition():
+    """Per-family gains + EMA normalization + budget + non-finite isolation
+    (reference nn/mixture_loss.py CompositeCriterion)."""
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.nn.mixture_loss import FAMILIES, compose_aux, init_aux_ema
+    from yolo_master_tpu.nn.module import Context
+
+    ctx = Context(training=True)
+    ctx.add_aux("m.1", jnp.asarray(4.0), family="moe")
+    ctx.add_aux("m.2", jnp.asarray(2.0), family="moa")
+    ctx.add_aux("m.3", jnp.asarray(jnp.nan), family="mot")  # must be isolated
+
+    ema = init_aux_ema()
+    total, new_ema, metrics = compose_aux(ctx, {"moe": 0.01, "moa": 0.05}, ema)
+    assert jnp.isfinite(total), "non-finite family must not poison the total"
+    assert float(metrics["aux_isolated"]) == 1.0
+    # moa uses its own gain, not the moe default
+    assert float(metrics["aux_moa"]) != float(metrics["aux_moe"])
+    # EMA moved toward the observed magnitudes for active families only
+    i_moe, i_mot = FAMILIES.index("moe"), FAMILIES.index("mot")
+    assert float(new_ema[i_moe]) != 1.0 and float(new_ema[i_mot]) == 1.0
+
+    # budget caps the composed total
+    big, _, _ = compose_aux(ctx, {"moe": 100.0}, ema, budget=0.5)
+    assert abs(float(big)) <= 0.5 + 1e-6
+
+
+def test_train_step_composes_families():
+    """The jitted step consumes TrainState.aux_ema and reports per-family aux."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.engine.train_step import make_optimizer, make_train_state, make_train_step
+    from yolo_master_tpu.nn.tasks import DetectionModel
+
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "ES_MOE", [32]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[3, 4, 5], 1, "Detect", ["nc"]]],
+    }
+    m = DetectionModel(cfg)
+    tx = make_optimizer(0.01, params=m.init_params(0))
+    state = make_train_state(m, seed=0, tx=tx)
+    step = make_train_step(m, tx=tx, imgsz=64, batch_per_step=2, max_gt=4)
+    batch = {
+        "images": jnp.zeros((2, 64, 64, 3)),
+        "boxes": jnp.zeros((2, 4, 4)),
+        "classes": jnp.zeros((2, 4), jnp.int32),
+        "mask": jnp.zeros((2, 4), bool),
+    }
+    state, metrics = step(state, batch)
+    assert "aux_moe" in metrics and jnp.isfinite(metrics["loss"])
+    assert state.aux_ema is not None and float(state.aux_ema[0]) != 1.0

@@ -9,6 +9,8 @@ of BASELINE config 1 ("boxes/scores/classes matching the PyTorch reference").
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model torch parity takes minutes on CPU
+
 REF_YAML = "/root/reference/ultralytics/cfg/models/master/v0/det/yolo-master-n.yaml"
 
 

@@ -67,6 +67,22 @@ class YOLODataset:
                     "mosaic": 1.0, "scale": 0.5, "translate": 0.1, "degrees": 0.0, "shear": 0.0,
                     "mixup": 0.0, "cutmix": 0.0, "copy_paste": 0.0, **(hyp or {})}
         self.mosaic_enabled = True  # trainer flips this off for close_mosaic
+        self._shapes = None
+
+    @property
+    def shapes(self):
+        """[(h0, w0)] original image shapes, read lazily from headers (PIL)
+        — lets the validator unletterbox without re-decoding images."""
+        if self._shapes is None:
+            from PIL import Image
+
+            shapes = []
+            for f in self.img_files:
+                with Image.open(f) as im:
+                    w, h = im.size
+                shapes.append((h, w))
+            self._shapes = shapes
+        return self._shapes
 
     @staticmethod
     def _load_label(path: str) -> np.ndarray:

@@ -24,6 +24,9 @@ class TrainState(NamedTuple):
     ema_params: Any
     step: jnp.ndarray  # int32 scalar
     ema_updates: jnp.ndarray  # EMA update counter (reference ModelEMA.updates)
+    # [F] per-mixture-family aux magnitude EMAs (reference CompositeCriterion
+    # EMA normalization, nn/mixture_loss.py) — None disables composition
+    aux_ema: Any = None
 
 
 def weight_decay_mask(params):
@@ -125,7 +128,9 @@ def make_train_state(model, seed: int = 0, lr=0.01, tx: Optional[optax.GradientT
     opt_state = tx.init(params)
     # ema must be a distinct buffer set (the step donates its input state)
     ema = jax.tree_util.tree_map(jnp.copy, params)
-    return TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
+    from ..nn.mixture_loss import init_aux_ema
+
+    return TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32), init_aux_ema())
 
 
 def ema_decay(updates: jnp.ndarray, decay: float = 0.9999, tau: float = 2000.0):
@@ -164,47 +169,64 @@ def make_train_step(
     if tx is None:
         tx = make_optimizer(0.01)
 
-    def loss_fn(params, batch, step_idx, moe_gain=None):
-        ctx = Context(training=True, compute_dtype=compute_dtype, step=step_idx)
+    def loss_fn(params, batch, step_idx, moe_gain=None, aux_ema=None):
+        ctx = Context(training=True, compute_dtype=compute_dtype, step=step_idx, gt=batch)
         x = batch["images"].astype(compute_dtype)
         h = hyp if moe_gain is None else {**hyp, "moe": moe_gain}
         preds = model.forward_train(params, x, ctx)
-        total, metrics = model.compute_loss(preds, batch, ctx.total_aux(), h)
+        if aux_ema is not None and ctx.aux:
+            # per-family composition (reference CompositeCriterion):
+            # gains + EMA normalization + budget + non-finite isolation
+            from ..nn.mixture_loss import compose_aux
+
+            gains = {f: h[f] for f in ("moe", "moa", "mot", "latent", "molora") if f in h}
+            aux_total, new_ema, aux_metrics = compose_aux(
+                ctx, gains, aux_ema, budget=h.get("mixture_aux_budget", 0.0),
+                normalize=bool(h.get("mixture_aux_normalize", True)),
+            )
+            base, metrics = model.compute_loss(preds, batch, jnp.zeros(()), {**h, "moe": 0.0})
+            total = base + aux_total
+            metrics = dict(metrics)
+            metrics.update(aux_metrics)
+            metrics["aux_loss"] = aux_total
+            metrics["loss"] = total
+        else:
+            new_ema = aux_ema
+            total, metrics = model.compute_loss(preds, batch, ctx.total_aux(), h)
         if return_stats:
             metrics = dict(metrics)
             metrics["moe_stats"] = ctx.stats
-        return total, (metrics, ctx.updates)
+        return total, (metrics, ctx.updates, new_ema)
 
-    def grad_fn(params, batch, step_idx, moe_gain=None):
+    def grad_fn(params, batch, step_idx, moe_gain=None, aux_ema=None):
         """Gradients, optionally accumulated over micro-batches (the functional
         analog of the reference's nbs grad accumulation, trainer.py:649-666)."""
         if accumulate <= 1:
-            return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, step_idx, moe_gain)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, step_idx, moe_gain, aux_ema)
         micro = jax.tree_util.tree_map(
             lambda a: a.reshape(accumulate, a.shape[0] // accumulate, *a.shape[1:]), batch
         )
 
-        def scan_body(carry, mb):
-            acc_grads, acc_total, acc_metrics = carry
-            (total, (metrics, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, step_idx, moe_gain)
-            acc_grads = jax.tree_util.tree_map(lambda a, g: a + g, acc_grads, grads)
-            acc_metrics = jax.tree_util.tree_map(lambda a, m: a + m, acc_metrics, metrics) if acc_metrics else metrics
-            return (acc_grads, acc_total + total, acc_metrics), updates
+        def micro_step(mb, ema):
+            return jax.value_and_grad(loss_fn, has_aux=True)(params, mb, step_idx, moe_gain, ema)
 
         first_mb = jax.tree_util.tree_map(lambda a: a[0], micro)
-        (total0, (metrics0, updates0)), grads0 = jax.value_and_grad(loss_fn, has_aux=True)(params, first_mb, step_idx, moe_gain)
-        carry = (grads0, total0, metrics0)
+        (total, (metrics, updates, ema)), grads = micro_step(first_mb, aux_ema)
         for i in range(1, accumulate):
             mb = jax.tree_util.tree_map(lambda a: a[i], micro)
-            carry, updates0 = scan_body(carry, mb)
-        grads, total, metrics = carry
+            (t_i, (m_i, updates, ema)), g_i = micro_step(mb, ema)
+            grads = jax.tree_util.tree_map(lambda a, g: a + g, grads, g_i)
+            metrics = jax.tree_util.tree_map(lambda a, m: a + m, metrics, m_i)
+            total = total + t_i
         k = float(accumulate)
         grads = jax.tree_util.tree_map(lambda g: g / k, grads)
         metrics = jax.tree_util.tree_map(lambda m: m / k, metrics)
-        return (total / k, (metrics, updates0)), grads
+        return (total / k, (metrics, updates, ema)), grads
 
     def step(state: TrainState, batch, moe_gain=None):
-        (total, (loss_metrics, bn_updates)), grads = grad_fn(state.params, batch, state.step, moe_gain)
+        (total, (loss_metrics, bn_updates, new_aux_ema)), grads = grad_fn(
+            state.params, batch, state.step, moe_gain, state.aux_ema
+        )
         # non-finite guard: skip the update on NaN/Inf loss (functional analog
         # of the reference's coordinated NaN recovery, trainer.py:1026,1392)
         finite = jnp.isfinite(total)
@@ -224,7 +246,7 @@ def make_train_step(
         else:
             n_updates = state.ema_updates
             ema = state.ema_params
-        new_state = TrainState(params, opt_state, ema, state.step + 1, n_updates)
+        new_state = TrainState(params, opt_state, ema, state.step + 1, n_updates, new_aux_ema)
         metrics = dict(loss_metrics)
         metrics["finite"] = finite.astype(jnp.float32)
         return new_state, metrics

@@ -150,12 +150,15 @@ class DetectionTrainer:
             momentum_fn=momentum_schedule if (warmup_steps and opt_name.lower() == "sgd") else None,
             bias_lr_fn=bias_lr_schedule if warmup_steps else None,
         )
+        from ..nn.mixture_loss import init_aux_ema
+
         self.state = TrainState(
             params=yolo.params,
             opt_state=self.tx.init(yolo.params),
             ema_params=jax.tree_util.tree_map(jnp.copy, yolo.params),
             step=jnp.zeros((), jnp.int32),
             ema_updates=jnp.zeros((), jnp.float32),
+            aux_ema=init_aux_ema(),
         )
         self.step_fn = make_train_step(
             self.model, tx=self.tx, mesh=mesh, imgsz=imgsz, batch_per_step=batch * self.accumulate,

@@ -95,4 +95,7 @@ TASK_TRAINERS = {
     "obb": OBBTrainer,
     "classify": ClassificationTrainer,
     "semantic": SemanticTrainer,
+    # RT-DETR trains through the shared loop: detection dataset/validator,
+    # the model's compute_loss dispatches to the Hungarian+CDN DETR loss
+    "rtdetr": DetectionTrainer,
 }

@@ -5,9 +5,10 @@ Eval loop: letterboxed batches -> jitted forward+decode -> fixed-shape NMS
 (multi_label=True, conf=0.001, iou=0.7, the reference val defaults) ->
 host-side greedy matching at 10 IoU thresholds -> ap_per_class.
 
-Matching happens in letterboxed input space (targets and predictions share the
-same transform, equivalent to the reference's original-space matching up to
-boundary clipping); COCO-json eval in original space is the breadth milestone.
+Matching happens in ORIGINAL image space: predictions and targets are
+unletterboxed per image (shapes read lazily from headers, no re-decode) and
+predictions clipped to image bounds before matching — exactly the reference's
+scale_boxes-then-match pipeline (detect/val.py).
 
 Data-parallel: batches are sharded over the mesh 'data' axis; matching stats
 accumulate on host (the single-program analog of the reference's
@@ -125,15 +126,21 @@ class DetectionValidator:
                     break  # wrap-padded tail duplicates
                 n = int(det["valid"][i].sum())
                 gt_n = int(batch["mask"][i].sum())
+                # match in ORIGINAL image space (reference scale_boxes before
+                # update_metrics): unletterbox preds+GT, clip preds to bounds
+                h0, w0 = dataset.shapes[seen]
+                r, pad_x, pad_y = self._letterbox_params(h0, w0)
+                pboxes = self._to_original(det["boxes"][i, :n], r, pad_x, pad_y, w0, h0, clip=True)
+                gboxes = self._to_original(batch["boxes"][i, :gt_n], r, pad_x, pad_y, w0, h0, clip=False)
                 metrics.update(
-                    det["boxes"][i, :n],
+                    pboxes,
                     det["scores"][i, :n],
                     det["classes"][i, :n],
-                    batch["boxes"][i, :gt_n],
+                    gboxes,
                     batch["classes"][i, :gt_n],
                 )
                 if jdict is not None and n:
-                    self._append_json(jdict, dataset, seen, det, i, n)
+                    self._append_json(jdict, dataset, seen, pboxes, det, i, n)
                 seen += 1
         if jdict is not None:
             import json as _json
@@ -150,21 +157,27 @@ class DetectionValidator:
         )
         return out
 
-    def _append_json(self, jdict, dataset, img_index, det, i, n):
-        """Unletterbox to original coords and append COCO-format rows
-        (reference detect/val.py pred_to_json)."""
-        import cv2
-
-        path = dataset.img_files[img_index]
-        im = cv2.imread(path)
-        h0, w0 = im.shape[:2]
-        r = min(self.imgsz / h0, self.imgsz / w0)
-        r = min(r, 1.0)  # val letterbox scaleup=False
+    def _letterbox_params(self, h0: int, w0: int):
+        """Val letterbox transform (scaleup=False), mirroring data/letterbox.py."""
+        r = min(self.imgsz / h0, self.imgsz / w0, 1.0)
         pad_x = round((self.imgsz - w0 * r) / 2 - 0.1)
         pad_y = round((self.imgsz - h0 * r) / 2 - 0.1)
-        boxes = det["boxes"][i, :n].copy()
-        boxes[:, [0, 2]] = ((boxes[:, [0, 2]] - pad_x) / r).clip(0, w0)
-        boxes[:, [1, 3]] = ((boxes[:, [1, 3]] - pad_y) / r).clip(0, h0)
+        return r, pad_x, pad_y
+
+    @staticmethod
+    def _to_original(boxes, r, pad_x, pad_y, w0, h0, clip: bool):
+        boxes = np.asarray(boxes, np.float32).copy()
+        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pad_x) / r
+        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - pad_y) / r
+        if clip:
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w0)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h0)
+        return boxes
+
+    def _append_json(self, jdict, dataset, img_index, boxes, det, i, n):
+        """Append COCO-format rows from already-unletterboxed boxes
+        (reference detect/val.py pred_to_json)."""
+        path = dataset.img_files[img_index]
         from pathlib import Path as _Path
 
         stem = _Path(path).stem

@@ -7,10 +7,13 @@ TPU-native build of the decoder head + training stack:
     encoded features + anchor boxes initialize the decoder queries
   * ndl deformable-attention decoder layers (single-value-scale sampling via
     the explicit bilinear gather from nn/mot.py) with iterative box refinement
-  * HungarianMatcher on host (scipy) — assignment is between jit steps, like
-    the NMS-side host work; DETR loss (VFL-style focal cls + L1 + GIoU) per
-    decoder layer. Contrastive denoising (get_cdn_group) is tracked as
-    follow-up; the query-selection and refinement path is complete.
+  * bipartite matching fully in-graph: focal+L1+GIoU cost matrix + greedy
+    conflict-free assignment (the axon PJRT runtime has no host callbacks, so
+    scipy Hungarian cannot live in the step; with nq >> #GT greedy is
+    near-optimal — gap gated by tests vs scipy); DETR loss (VFL-style focal
+    cls + L1 + GIoU) per decoder layer + encoder proposals
+  * contrastive denoising (get_cdn_group): noised GT queries with group-
+    isolation attention masking, built in-graph from the stashed ctx.gt batch
 """
 
 from __future__ import annotations
@@ -81,9 +84,10 @@ class DeformableDecoderLayer(Module):
         p["attn_proj"]["b"] = jnp.zeros_like(p["attn_proj"]["b"])
         return p
 
-    def __call__(self, p, q, memory_map, ref_points, qpos, ctx):
+    def __call__(self, p, q, memory_map, ref_points, qpos, ctx, attn_mask=None):
         """q [B,nq,D]; memory_map [B,H,W,D] (finest scale); ref_points [B,nq,2]
-        normalized centers; qpos [B,nq,D]."""
+        normalized centers; qpos [B,nq,D]; attn_mask [nq,nq] additive bias
+        (CDN group isolation, reference get_cdn_group attn_mask)."""
         B, nq, D = q.shape
         H, W = memory_map.shape[1:3]
         # self attention
@@ -91,7 +95,7 @@ class DeformableDecoderLayer(Module):
         def heads(t):
             return t.reshape(B, nq, self.nh, self.hd).transpose(0, 2, 1, 3)
         sa = sdpa(heads(self.self_q(p["self_q"], qk, ctx)), heads(self.self_k(p["self_k"], qk, ctx)),
-                  heads(self.self_v(p["self_v"], q, ctx)), self.hd**-0.5)
+                  heads(self.self_v(p["self_v"], q, ctx)), self.hd**-0.5, mask=attn_mask)
         sa = sa.transpose(0, 2, 1, 3).reshape(B, nq, D)
         q = self.norm1(p["norm1"], q + self.self_o(p["self_o"], sa, ctx), ctx)
 
@@ -140,6 +144,11 @@ class RTDETRDecoder(Module):
         p["enc_score_head"]["b"] = jnp.full_like(p["enc_score_head"]["b"], bias)
         for i in range(self.ndl):
             p["dec_score_head"][str(i)]["b"] = jnp.full_like(p["dec_score_head"][str(i)]["b"], bias)
+        # class embedding for contrastive-denoising queries (reference
+        # RTDETRDecoder denoising_class_embed; nc+1 rows, last = "no object")
+        from ..nn.module import trunc_normal
+
+        p["denoising_class_embed"] = trunc_normal(jax.random.PRNGKey(11), (self.nc + 1, self.hd), std=0.02)
         return p
 
     def _anchors(self, shapes):
@@ -152,7 +161,10 @@ class RTDETRDecoder(Module):
             anchors.append(jnp.concatenate([xy, wh], -1))
         return jnp.concatenate(anchors, 0)  # [T, 4] normalized xywh
 
-    def __call__(self, p, feats: List[jnp.ndarray], ctx: Context):
+    def __call__(self, p, feats: List[jnp.ndarray], ctx: Context, dn: Optional[dict] = None):
+        """dn (training only): contrastive-denoising group — dict with
+        cls [B,nd] int, boxes [B,nd,4] normalized xywh, attn_mask [nd+nq,nd+nq]
+        additive (reference models/utils/ops.py:187 get_cdn_group)."""
         B = feats[0].shape[0]
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         tokens, proj_maps = [], []
@@ -179,24 +191,53 @@ class RTDETRDecoder(Module):
         ref_boxes = jnp.take_along_axis(enc_boxes, top_idx[..., None], 1)  # [B,nq,4]
         ref_boxes = jax.lax.stop_gradient(ref_boxes)
 
+        nd = 0
+        attn_mask = None
+        dn_meta = None
+        if dn is None and ctx.training and ctx.gt is not None:
+            # contrastive denoising group from the stashed GT batch
+            # (reference models/utils/ops.py:187; key derives from the step so
+            # every data shard draws identical noise)
+            key = jax.random.fold_in(jax.random.PRNGKey(777), jnp.asarray(ctx.step, jnp.uint32))
+            s0 = self.strides[0]
+            imgsz = (shapes[0][0] * s0, shapes[0][1] * s0)
+            dn = get_cdn_group(ctx.gt["boxes"], ctx.gt["classes"], ctx.gt["mask"],
+                               self.nc, nq, imgsz, key)
+            dn_meta = dn
+        if dn is not None:
+            nd = dn["cls"].shape[1]
+            dn_embed = p["denoising_class_embed"][dn["cls"]].astype(q.dtype)  # [B,nd,hd]
+            q = jnp.concatenate([dn_embed, q], 1)
+            ref_boxes = jnp.concatenate([dn["boxes"].astype(jnp.float32), ref_boxes], 1)
+            attn_mask = dn["attn_mask"]
+
         dec_scores, dec_boxes = [], []
         mem_map = proj_maps[-1]  # finest-context scale for deformable sampling
         for i, layer in enumerate(self.layers):
             qpos = self.query_pos_head(p["query_pos_head"], ref_boxes.astype(q.dtype), ctx)
-            q = layer(p["layers"][str(i)], q, mem_map, ref_boxes[..., :2], qpos, ctx)
+            q = layer(p["layers"][str(i)], q, mem_map, ref_boxes[..., :2], qpos, ctx, attn_mask=attn_mask)
             delta = self.dec_bbox_head[i](p["dec_bbox_head"][str(i)], q, ctx).astype(jnp.float32)
             ref_boxes = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))
             dec_boxes.append(ref_boxes)
             dec_scores.append(self.dec_score_head[i](p["dec_score_head"][str(i)], q, ctx))
             ref_boxes = jax.lax.stop_gradient(ref_boxes)
 
-        return {
-            "dec_boxes": jnp.stack(dec_boxes),  # [ndl, B, nq, 4] normalized xywh
-            "dec_scores": jnp.stack(dec_scores),  # [ndl, B, nq, nc]
+        all_boxes = jnp.stack(dec_boxes)  # [ndl, B, nd+nq, 4] normalized xywh
+        all_scores = jnp.stack(dec_scores)  # [ndl, B, nd+nq, nc]
+        out = {
+            "dec_boxes": all_boxes[:, :, nd:],
+            "dec_scores": all_scores[:, :, nd:],
             "enc_boxes": enc_boxes,
             "enc_scores": enc_scores,
             "hw_shapes": tuple(shapes),
         }
+        if nd:
+            out["dn_boxes"] = all_boxes[:, :, :nd]
+            out["dn_scores"] = all_scores[:, :, :nd]
+            if dn_meta is not None:
+                out["dn_pos_mask"] = dn_meta["pos_mask"]
+                out["dn_group_gt"] = dn_meta["group_gt"]
+        return out
 
     def decode(self, preds, imgsz: Tuple[int, int]) -> jnp.ndarray:
         """Final-layer predictions as [B, nq, 4+nc] (xywh px + sigmoid scores)."""
@@ -259,3 +300,190 @@ def detr_loss_single(pred_boxes, pred_scores, gt_boxes, gt_cls, pred_idx, gt_idx
     else:
         loss_l1 = loss_giou = jnp.zeros(())
     return cls_gain * loss_cls + l1_gain * loss_l1 + giou_gain * loss_giou
+
+
+# ---------------------------------------------------------------------------
+# Contrastive denoising (reference models/utils/ops.py:187 get_cdn_group):
+# noised copies of the GT prepended as extra decoder queries, isolated from
+# the real queries (and from other denoising groups) by an attention mask.
+# Static shapes: groups are sized by max_gt, padded slots carry class nc
+# ("no object") and are masked out of the loss.
+# ---------------------------------------------------------------------------
+
+def get_cdn_group(gt_boxes, gt_cls, gt_mask, nc: int, nq: int, imgsz, key,
+                  num_dn: int = 100, cls_noise_ratio: float = 0.5, box_noise_scale: float = 1.0):
+    """Build the CDN query group.
+
+    Args:
+        gt_boxes: [B, m, 4] xyxy PIXELS (the batch contract).
+        gt_cls: [B, m] int; gt_mask: [B, m] bool.
+        imgsz: (H, W) for normalization.
+        key: jax PRNG key.
+
+    Returns dict(cls [B,nd], boxes [B,nd,4] normalized xywh,
+    attn_mask [nd+nq, nd+nq] additive fp32, pos_mask [B,nd] bool (positive
+    slots with a real GT), group_gt [B,nd] int (GT slot index per dn slot)).
+    """
+    B, m = gt_cls.shape
+    g = max(1, num_dn // max(2 * m, 1))  # pos+neg pairs per group
+    nd = 2 * g * m
+    H, W = imgsz
+    scale = jnp.array([W, H, W, H], jnp.float32)
+
+    # xyxy px -> normalized xywh
+    xy = (gt_boxes[..., :2] + gt_boxes[..., 2:]) / 2
+    wh = jnp.clip(gt_boxes[..., 2:] - gt_boxes[..., :2], 1e-3, None)
+    nboxes = jnp.concatenate([xy, wh], -1) / scale  # [B,m,4]
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    # tile to [B, 2g, m, .]: even groups positive, odd negative
+    tiled = jnp.tile(nboxes[:, None], (1, 2 * g, 1, 1))
+    cls_t = jnp.tile(gt_cls[:, None], (1, 2 * g, 1))
+    mask_t = jnp.tile(gt_mask[:, None], (1, 2 * g, 1))
+    is_neg = (jnp.arange(2 * g) % 2 == 1)[None, :, None]  # [1,2g,1]
+
+    # box noise (reference: pos |noise| < wh/2 * scale, neg in (1,2) x wh/2)
+    rand = jax.random.uniform(k1, tiled.shape, minval=-1.0, maxval=1.0)
+    half = tiled[..., 2:] / 2
+    shift = jnp.concatenate([half, half], -1) * box_noise_scale
+    noise_pos = rand * shift
+    sign = jnp.sign(jax.random.uniform(k2, tiled.shape) - 0.5)
+    noise_neg = sign * (1.0 + jax.random.uniform(k2, tiled.shape)) * shift
+    noised = tiled + jnp.where(is_neg[..., None], noise_neg, noise_pos)
+    noised = jnp.clip(noised, 1e-4, 1.0 - 1e-4)
+
+    # class noise: flip to a random class with p = cls_noise_ratio * 0.5
+    flip = jax.random.uniform(k3, cls_t.shape) < (cls_noise_ratio * 0.5)
+    rand_cls = jax.random.randint(jax.random.fold_in(k3, 1), cls_t.shape, 0, max(nc, 1))
+    noised_cls = jnp.where(flip & mask_t, rand_cls, cls_t)
+    noised_cls = jnp.where(mask_t, noised_cls, nc)  # padded slots -> "no object"
+
+    dn_cls = noised_cls.reshape(B, nd)
+    dn_boxes = noised.reshape(B, nd, 4)
+    pos_mask = (mask_t & ~jnp.broadcast_to(is_neg, mask_t.shape)).reshape(B, nd)
+    group_gt = jnp.tile(jnp.arange(m)[None, None], (B, 2 * g, 1)).reshape(B, nd)
+
+    # attention mask: real queries never see dn; dn group i never sees group j
+    neg_inf = jnp.float32(-1e9)
+    total = nd + nq
+    mask = jnp.zeros((total, total), jnp.float32)
+    mask = mask.at[nd:, :nd].set(neg_inf)  # match -> dn blocked
+    gid = jnp.arange(nd) // (2 * m)  # pos+neg pair of a group share visibility
+    blocked = gid[:, None] != gid[None, :]
+    mask = mask.at[:nd, :nd].set(jnp.where(blocked, neg_inf, 0.0))
+    return {"cls": dn_cls, "boxes": dn_boxes, "attn_mask": mask,
+            "pos_mask": pos_mask, "group_gt": group_gt}
+
+
+# ---------------------------------------------------------------------------
+# Batched static-shape DETR loss (+ in-jit Hungarian via pure_callback)
+# ---------------------------------------------------------------------------
+
+def match_cost_matrix(pred_boxes, pred_scores, gt_boxes, gt_cls,
+                      cost_class: float = 2.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
+                      alpha: float = 0.25, gamma: float = 2.0):
+    """[B, m, nq] focal-class + L1 + GIoU matching cost, fully in-graph
+    (the jnp twin of hungarian_match's numpy cost)."""
+    prob = jax.nn.sigmoid(pred_scores.astype(jnp.float32))  # [B,nq,nc]
+    pc = jnp.take_along_axis(prob[:, None], gt_cls[:, :, None, None], -1)[..., 0]  # [B,m,nq]
+    neg = (1 - alpha) * pc**gamma * (-jnp.log(1 - pc + 1e-8))
+    pos = alpha * (1 - pc) ** gamma * (-jnp.log(pc + 1e-8))
+    c_cls = pos - neg
+    c_l1 = jnp.sum(jnp.abs(gt_boxes[:, :, None] - pred_boxes[:, None].astype(jnp.float32)), -1)
+    giou = bbox_iou(xywh2xyxy(gt_boxes[:, :, None]), xywh2xyxy(pred_boxes[:, None].astype(jnp.float32)),
+                    xywh=False, GIoU=True)
+    cost = cost_class * c_cls + cost_bbox * c_l1 + cost_giou * (1 - giou)
+    return jnp.nan_to_num(cost, nan=1e6, posinf=1e6, neginf=-1e6)
+
+
+def greedy_assign(cost, gt_mask):
+    """Conflict-free greedy assignment, static shapes, jit/TPU-native.
+
+    The axon PJRT runtime has no host-callback support, so the scipy Hungarian
+    cannot run inside the step; with nq >> num GTs (300 queries vs a handful
+    of boxes) bidding conflicts are rare and greedy matching is near-optimal
+    (exactness gap covered by tests vs scipy). cost [B, m, nq] -> idx [B, m].
+    """
+    B, m, nq = cost.shape
+
+    def per_image(cost_i, mask_i):
+        def body(taken, i):
+            row = jnp.where(taken, jnp.inf, cost_i[i])
+            j = jnp.argmin(row).astype(jnp.int32)
+            taken = taken | (jax.nn.one_hot(j, nq, dtype=bool) & mask_i[i])
+            return taken, jnp.where(mask_i[i], j, 0)
+
+        _, idx = jax.lax.scan(body, jnp.zeros((nq,), bool), jnp.arange(m))
+        return idx
+
+    return jax.vmap(per_image)(jax.lax.stop_gradient(cost), gt_mask)
+
+
+def batched_assign(pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask):
+    """In-graph bipartite assignment: cost matrix + greedy conflict-free match."""
+    cost = match_cost_matrix(pred_boxes, pred_scores, gt_boxes, gt_cls)
+    cost = jnp.where(gt_mask[..., None], cost, 1e6)
+    return greedy_assign(cost, gt_mask)
+
+
+def detr_loss_batched(pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask, assign_idx,
+                      nc: int, cls_gain=1.0, l1_gain=5.0, giou_gain=2.0):
+    """Static-shape batched DETR loss given assignments.
+
+    pred_boxes [B,nq,4] normalized xywh; pred_scores [B,nq,nc] logits;
+    gt_boxes [B,m,4] normalized xywh; assign_idx [B,m] query per GT slot.
+    """
+    B, nq, _ = pred_boxes.shape
+    maskf = gt_mask.astype(jnp.float32)
+    num_gt = jnp.clip(jnp.sum(maskf), 1.0, None)
+
+    sel = jax.nn.one_hot(assign_idx, nq) * maskf[..., None]  # [B,m,nq]
+    tgt_scores = jnp.einsum("bmq,bmc->bqc", sel, jax.nn.one_hot(gt_cls, nc))  # [B,nq,nc]
+    prob = jax.nn.sigmoid(pred_scores.astype(jnp.float32))
+    bce = -(tgt_scores * jnp.log(prob + 1e-8) + (1 - tgt_scores) * jnp.log(1 - prob + 1e-8))
+    focal = jnp.where(tgt_scores > 0, 0.25 * (1 - prob) ** 2, 0.75 * prob**2) * bce
+    loss_cls = jnp.sum(focal) / num_gt
+
+    matched = jnp.einsum("bmq,bqi->bmi", sel, pred_boxes.astype(jnp.float32))  # [B,m,4]
+    l1 = jnp.sum(jnp.abs(matched - gt_boxes) * maskf[..., None]) / num_gt
+    giou = bbox_iou(xywh2xyxy(matched), xywh2xyxy(gt_boxes), xywh=False, GIoU=True)
+    loss_giou = jnp.sum((1.0 - giou) * maskf) / num_gt
+    return cls_gain * loss_cls + l1_gain * l1 + giou_gain * loss_giou
+
+
+def rtdetr_loss(preds, batch, imgsz, nc: int, dn_meta=None):
+    """Full RT-DETR training loss: per-decoder-layer Hungarian-matched DETR
+    loss + encoder-proposal loss + CDN denoising loss (known assignment)."""
+    H, W = imgsz
+    scale = jnp.array([W, H, W, H], jnp.float32)
+    xy = (batch["boxes"][..., :2] + batch["boxes"][..., 2:]) / 2
+    wh = jnp.clip(batch["boxes"][..., 2:] - batch["boxes"][..., :2], 0.0, None)
+    gt_n = jnp.concatenate([xy, wh], -1) / scale  # [B,m,4] normalized xywh
+    gt_cls = batch["classes"].astype(jnp.int32)
+    gt_mask = batch["mask"]
+
+    total = jnp.zeros(())
+    ndl = preds["dec_boxes"].shape[0]
+    for i in range(ndl):
+        pb, ps = preds["dec_boxes"][i], preds["dec_scores"][i]
+        idx = batched_assign(pb, ps, gt_n, gt_cls, gt_mask)
+        total = total + detr_loss_batched(pb, ps, gt_n, gt_cls, gt_mask, idx, nc)
+    # encoder proposals (reference aux "enc" loss)
+    idx = batched_assign(preds["enc_boxes"], preds["enc_scores"], gt_n, gt_cls, gt_mask)
+    total = total + detr_loss_batched(preds["enc_boxes"], preds["enc_scores"], gt_n, gt_cls, gt_mask, idx, nc)
+
+    dn_loss = jnp.zeros(())
+    if dn_meta is not None and "dn_boxes" in preds:
+        # known assignment: dn slot j was generated from GT slot group_gt[j]
+        pos = dn_meta["pos_mask"]  # [B,nd]
+        ggt = dn_meta["group_gt"]  # [B,nd]
+        gb = jnp.take_along_axis(gt_n, ggt[..., None], 1)  # [B,nd,4]
+        gc = jnp.take_along_axis(gt_cls, ggt, 1)
+        nd = pos.shape[1]
+        ident = jnp.tile(jnp.arange(nd)[None], (pos.shape[0], 1))
+        for i in range(preds["dn_boxes"].shape[0]):
+            dn_loss = dn_loss + detr_loss_batched(
+                preds["dn_boxes"][i], preds["dn_scores"][i], gb, gc, pos, ident, nc
+            )
+        dn_loss = dn_loss / preds["dn_boxes"].shape[0]
+    return total / (ndl + 1), dn_loss

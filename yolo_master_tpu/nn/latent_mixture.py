@@ -157,7 +157,7 @@ class LatentMixture(Module):
         out = base + p["residual_gain"].astype(base.dtype) * mixed
         if ctx.training:
             ctx.add_aux(self.path, _latent_aux(logits, probs, self.num_experts,
-                                               self.balance_loss_coeff, self.router_z_loss_coeff))
+                                               self.balance_loss_coeff, self.router_z_loss_coeff), family="latent")
         return out
 
 
@@ -212,5 +212,5 @@ class MultiScaleLatentMixture(Module):
             outs.append(x + p["residual_gain"][s].astype(x.dtype) * mixed)
         if ctx.training:
             ctx.add_aux(self.path, _latent_aux(logits, probs, self.num_experts,
-                                               self.balance_loss_coeff, self.router_z_loss_coeff))
+                                               self.balance_loss_coeff, self.router_z_loss_coeff), family="latent")
         return outs

@@ -174,7 +174,11 @@ class Conv(Module):
             y = y + p["conv"]["b"].astype(y.dtype)
         elif "bn" in p:
             y = self.bn(p["bn"], y, ctx)
-        return silu(y) if self.act else y
+        if self.act is True:
+            return silu(y)
+        if self.act == "relu":  # HGNetV2 blocks use ReLU (reference block.py:110)
+            return jax.nn.relu(y)
+        return y
 
 
 class DWConv(Conv):
@@ -667,3 +671,154 @@ class LayerNorm(Module):
         var = jnp.var(xf, -1, keepdims=True)
         y = (xf - mean) * lax.rsqrt(var + self.eps)
         return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# HGNetV2 backbone blocks + AIFI encoder (the RT-DETR backbone/encoder family,
+# reference nn/modules/block.py:110 HGStem/HGBlock, conv.py LightConv,
+# transformer.py AIFI). All ReLU-activated per PPHGNetV2.
+# ---------------------------------------------------------------------------
+
+class HGStem(Module):
+    """PPHGNetV2 stem: 5 convs + a stride-1 maxpool branch (block.py:110).
+
+    Downsamples 4x: stem1 s2 -> parallel {maxpool, stem2a+stem2b} -> concat
+    -> stem3 s2 -> stem4 1x1.
+    """
+
+    def __init__(self, c1, cm, c2):
+        super().__init__()
+        self.stem1 = Conv(c1, cm, 3, 2, act="relu")
+        self.stem2a = Conv(cm, cm // 2, 2, 1, 0, act="relu")
+        self.stem2b = Conv(cm // 2, cm, 2, 1, 0, act="relu")
+        self.stem3 = Conv(cm * 2, cm, 3, 2, act="relu")
+        self.stem4 = Conv(cm, c2, 1, 1, act="relu")
+
+    def __call__(self, p, x, ctx):
+        x = self.stem1(p["stem1"], x, ctx)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))  # F.pad [0,1,0,1]
+        x2 = self.stem2a(p["stem2a"], x, ctx)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = self.stem2b(p["stem2b"], x2, ctx)
+        x1 = max_pool(x, 2, 1, padding=0)  # ceil_mode covered by the pre-pad
+        x = jnp.concatenate([x1, x2], -1)
+        x = self.stem3(p["stem3"], x, ctx)
+        return self.stem4(p["stem4"], x, ctx)
+
+
+class LightConv(Module):
+    """1x1 conv (no act) + DW kxk conv (ReLU) (reference conv.py LightConv)."""
+
+    def __init__(self, c1, c2, k=3):
+        super().__init__()
+        self.conv1 = Conv(c1, c2, 1, act=False)
+        self.conv2 = DWConv(c2, c2, k, act="relu")
+
+    def __call__(self, p, x, ctx):
+        return self.conv2(p["conv2"], self.conv1(p["conv1"], x, ctx), ctx)
+
+
+class HGBlock(Module):
+    """PPHGNetV2 HG_Block: n chained (Light)Convs, dense concat, then
+    squeeze (1x1 -> c2/2) + excitation (1x1 -> c2) convs; optional residual
+    (reference block.py HGBlock)."""
+
+    def __init__(self, c1, cm, c2, k=3, n=6, lightconv=False, shortcut=False):
+        super().__init__()
+        block = LightConv if lightconv else (lambda a, b, kk: Conv(a, b, kk, act="relu"))
+        self.m = ModuleList([block(c1 if i == 0 else cm, cm, k) for i in range(n)])
+        self.sc = Conv(c1 + n * cm, c2 // 2, 1, 1, act="relu")
+        self.ec = Conv(c2 // 2, c2, 1, 1, act="relu")
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, p, x, ctx):
+        ys = [x]
+        for i, m in enumerate(self.m):
+            ys.append(m(p["m"][str(i)], ys[-1], ctx))
+        y = self.ec(p["ec"], self.sc(p["sc"], jnp.concatenate(ys, -1), ctx), ctx)
+        return y + x if self.add else y
+
+
+class AIFI(Module):
+    """Attention-based Intra-scale Feature Interaction: one transformer
+    encoder layer with 2D sincos position embedding over the P5 map
+    (reference transformer.py AIFI)."""
+
+    def __init__(self, c1, cm=2048, num_heads=8):
+        super().__init__()
+        self.c, self.nh = c1, num_heads
+        self.hd = c1 // num_heads
+        self.q = Linear(c1, c1)
+        self.k = Linear(c1, c1)
+        self.v = Linear(c1, c1)
+        self.o = Linear(c1, c1)
+        self.norm1 = LayerNorm(c1)
+        self.fc1 = Linear(c1, cm)
+        self.fc2 = Linear(cm, c1)
+        self.norm2 = LayerNorm(c1)
+
+    @staticmethod
+    def pos_embed_2d(h, w, dim, temperature=10000.0):
+        """[h*w, dim] 2D sine-cosine position embedding (reference
+        build_2d_sincos_position_embedding)."""
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        pos_dim = dim // 4
+        omega = 1.0 / temperature ** (jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim)
+        out_x = gx.reshape(-1)[:, None] * omega[None]
+        out_y = gy.reshape(-1)[:, None] * omega[None]
+        return jnp.concatenate([jnp.sin(out_x), jnp.cos(out_x), jnp.sin(out_y), jnp.cos(out_y)], -1)
+
+    def __call__(self, p, x, ctx):
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)
+        pe = self.pos_embed_2d(H, W, C).astype(t.dtype)[None]
+        qk = t + pe
+
+        def heads(z):
+            return z.reshape(B, -1, self.nh, self.hd).transpose(0, 2, 1, 3)
+
+        q = heads(self.q(p["q"], qk, ctx))
+        k = heads(self.k(p["k"], qk, ctx))
+        v = heads(self.v(p["v"], t, ctx))
+        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * self.hd**-0.5, k, preferred_element_type=jnp.float32), -1)
+        sa = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v).transpose(0, 2, 1, 3).reshape(B, -1, C)
+        t = self.norm1(p["norm1"], t + self.o(p["o"], sa, ctx), ctx)
+        ff = self.fc2(p["fc2"], jax.nn.gelu(self.fc1(p["fc1"], t, ctx)), ctx)
+        t = self.norm2(p["norm2"], t + ff, ctx)
+        return t.reshape(B, H, W, C)
+
+
+class RepConv(Module):
+    """RepVGG-style conv: parallel 3x3 + 1x1 (+BN each) summed, SiLU
+    (reference conv.py RepConv, train-time form; deploy fusion folds branches)."""
+
+    def __init__(self, c1, c2, k=3, s=1, act=True):
+        super().__init__()
+        assert k == 3
+        self.conv1 = Conv(c1, c2, 3, s, act=False)
+        self.conv2 = Conv(c1, c2, 1, s, act=False)
+        self.act = act
+
+    def __call__(self, p, x, ctx):
+        y = self.conv1(p["conv1"], x, ctx) + self.conv2(p["conv2"], x, ctx)
+        return silu(y) if self.act else y
+
+
+class RepC3(Module):
+    """CSP block with RepConv inner stack (reference block.py RepC3) — the
+    RT-DETR CCFM fusion block."""
+
+    def __init__(self, c1, c2, n=3, e=1.0):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c1, c_, 1, 1)
+        self.m = ModuleList([RepConv(c_, c_) for _ in range(n)])
+        self.cv3 = Conv(c_, c2, 1, 1) if c_ != c2 else None
+
+    def __call__(self, p, x, ctx):
+        y = self.cv1(p["cv1"], x, ctx)
+        for i, m in enumerate(self.m):
+            y = m(p["m"][str(i)], y, ctx)
+        y = y + self.cv2(p["cv2"], x, ctx)
+        return self.cv3(p["cv3"], y, ctx) if self.cv3 is not None else y

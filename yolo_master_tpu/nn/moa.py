@@ -60,9 +60,13 @@ def window_reverse(wx, win, B, H, W):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
-def sdpa(q, k, v, scale):
-    """q,k,v: [..., N, hd] / [..., M, hd] -> [..., N, hd] (softmax attention)."""
+def sdpa(q, k, v, scale, mask=None):
+    """q,k,v: [..., N, hd] / [..., M, hd] -> [..., N, hd] (softmax attention).
+    mask: optional [N, M] additive bias (-inf to block, e.g. the CDN group
+    mask in RT-DETR denoising training)."""
     attn = jnp.einsum("...nd,...md->...nm", q * scale, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        attn = attn + mask
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     return jnp.einsum("...nm,...md->...nd", attn, v)
 
@@ -259,7 +263,7 @@ class MoABlock(Module):
             # importance = mean token routing mass; E * sum(imp^2), coeff-scaled
             importance = jnp.mean(weights, axis=(0, 1, 2))
             aux = self.aux_loss_coeff * self.NUM_GROUPS * jnp.sum(importance**2)
-            ctx.add_aux(self.path, aux)
+            ctx.add_aux(self.path, aux, family="moa")
             ctx.stats[self.path] = {"expert_usage": importance}
         w = weights.astype(x.dtype)
         mixed = (
@@ -340,7 +344,7 @@ class NeckMoAFusion(Module):
         weights, _ = self.router(p["router"], hi, ctx)  # [B,H,W,2]
         if ctx.training and self.aux_loss_coeff > 0:
             importance = jnp.mean(weights, axis=(0, 1, 2))
-            ctx.add_aux(self.path, self.aux_loss_coeff * 2 * jnp.sum(importance**2))
+            ctx.add_aux(self.path, self.aux_loss_coeff * 2 * jnp.sum(importance**2), family="moa")
         w = weights.astype(hi.dtype)
         out = w[..., 0:1] * self.out_proj(p["out_proj"], cross, ctx) + w[..., 1:2] * self.self_proj(
             p["self_proj"], hi, ctx

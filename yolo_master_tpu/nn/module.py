@@ -57,9 +57,16 @@ class Context:
     # When True, routed modules use hard top-k sparse weights in eval
     # (reference: ES_MOE._eager_sparse_enabled, moe/modules.py:575-583).
     sparse_inference: bool = True
+    # mixture family per aux entry (moe/moa/mot/latent/molora) — drives the
+    # per-family gain + normalization composition (reference nn/mixture_loss.py)
+    aux_family: Dict[str, str] = field(default_factory=dict)
+    # ground-truth batch, stashed by the train step for models whose FORWARD
+    # needs labels (RT-DETR contrastive denoising, reference get_cdn_group)
+    gt: Any = None
 
-    def add_aux(self, path: str, value: jnp.ndarray) -> None:
+    def add_aux(self, path: str, value: jnp.ndarray, family: str = "moe") -> None:
         self.aux[path] = self.aux.get(path, 0.0) + value
+        self.aux_family[path] = family
 
     def total_aux(self) -> jnp.ndarray:
         if not self.aux:

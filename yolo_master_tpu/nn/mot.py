@@ -295,7 +295,7 @@ class MoTBlock(Module):
             importance = jnp.mean(probs.reshape(-1, self.NUM_EXPERTS), 0)
             balance = self.NUM_EXPERTS * jnp.sum(importance**2)
             z = jnp.mean(jax.nn.logsumexp(logits, -1) ** 2)
-            ctx.add_aux(self.path, self.balance_loss_coeff * balance + self.z_coeff * z)
+            ctx.add_aux(self.path, self.balance_loss_coeff * balance + self.z_coeff * z, family="mot")
             ctx.stats[self.path] = {"expert_usage": importance}
         wv = w.astype(x.dtype)
         mixed = None

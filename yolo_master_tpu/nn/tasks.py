@@ -19,6 +19,7 @@ from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, find_model_yaml, guess_scale, make_divisible, yaml_load
 from .heads import OBB, Classify, Detect, Pose, Segment, SemanticSegment
 from .layers import (
+    AIFI,
     A2C2f,
     Bottleneck,
     C2PSA,
@@ -29,6 +30,11 @@ from .layers import (
     Concat,
     Conv,
     DWConv,
+    HGBlock,
+    HGStem,
+    RepC3,
+    RepConv,
+    LightConv,
     MaxPool,
     SPPF,
     Upsample,
@@ -63,6 +69,12 @@ MODULE_REGISTRY: Dict[str, type] = {
     "C3k": C3k,
     "C3k2": C3k2,
     "SPPF": SPPF,
+    "HGStem": HGStem,
+    "RepC3": RepC3,
+    "RepConv": RepConv,
+    "HGBlock": HGBlock,
+    "LightConv": LightConv,
+    "AIFI": AIFI,
     "C2PSA": C2PSA,
     "A2C2f": A2C2f,
     "Concat": Concat,
@@ -98,8 +110,8 @@ MODULE_REGISTRY: Dict[str, type] = {
     "GatedFusionMoE": GatedFusionMoE,
 }
 
-REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT}
-BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify}
+REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT, RepC3}
+BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify, RepC3, RepConv}
 MIXTURE_MODULES = {
     ES_MOE, A2C2fMoE, OptimizedMOEImproved, C2fMoA, C2fMoT, MoABlock, MoTBlock,
     AdaptiveGateMoE, HybridAdaptiveGateMoE, HybridAdaptiveGateMoEv2,
@@ -177,6 +189,16 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
                 n = 1
             if m is A2C2fMoE:
                 legacy = False
+        elif m in (HGStem, HGBlock):
+            # yaml args [cm, c2, ...]; c1 prepended (reference tasks.py:2036)
+            c1, cm_, c2 = channels[f], args[0], args[1]
+            args = [c1, cm_, c2, *args[2:]]
+            if m is HGBlock:
+                args.insert(4, n)  # repeats become the block's inner n
+                n = 1
+        elif m is AIFI:
+            c2 = channels[f]
+            args = [c2, *args]
         elif m in (LatentMixture, NeckMoAFusion):
             c1 = [channels[x] for x in f]
             c2 = args[0]
@@ -261,9 +283,10 @@ class BaseModel(Module):
             f = spec.f
             if f != -1:
                 if isinstance(f, int):
-                    inp = y if f == -1 else saved[f]
+                    inp = y if f == -1 else saved[f % spec.i]
                 else:
-                    inp = [y if j == -1 else saved[j] for j in f]
+                    # negative j (other than -1) indexes relative to this layer
+                    inp = [y if j == -1 else saved[j % spec.i] for j in f]
             else:
                 inp = y
             y = spec.module(lp[str(spec.i)], inp, ctx)
@@ -281,7 +304,7 @@ class BaseModel(Module):
         for spec in self.specs:
             f = spec.f
             if f != -1:
-                inp = (y if f == -1 else saved[f]) if isinstance(f, int) else [y if j == -1 else saved[j] for j in f]
+                inp = (y if f == -1 else saved[f % spec.i]) if isinstance(f, int) else [y if j == -1 else saved[j % spec.i] for j in f]
             else:
                 inp = y
             y = spec.module(lp[str(spec.i)], inp, ctx)
@@ -334,9 +357,9 @@ class DetectionModel(BaseModel):
                 s = src // m.scale
             elif isinstance(m, MaxPool):
                 s = src * m.s
-            elif hasattr(m, "seq"):  # ConvSeq of repeated convs
-                for sub in m.seq:
-                    if isinstance(sub, Conv):
+            elif hasattr(m, "mods"):  # ConvSeq of repeated (possibly strided) convs
+                for sub in m.mods:
+                    if isinstance(sub, (Conv, DWConv)):
                         s = s * sub.s
             strides[spec.i] = s
             cur = s
@@ -543,3 +566,23 @@ class RTDETRDetectionModel(BaseModel):
         ctx = ctx or Context(training=False)
         preds = self.forward_features(p, x, ctx)
         return self.head.decode(preds, (x.shape[1], x.shape[2]))
+
+
+def _rtdetr_loss(model, preds, batch, aux_total, hyp):
+    """RT-DETR training loss: per-layer Hungarian DETR loss + encoder loss +
+    CDN denoising loss (reference models/rtdetr/train.py + models/utils/loss.py)."""
+    from ..models.rtdetr import rtdetr_loss
+
+    s0 = model.head.strides[0]
+    h, w = preds["hw_shapes"][0]
+    dn_meta = None
+    if "dn_pos_mask" in preds:
+        dn_meta = {"pos_mask": preds["dn_pos_mask"], "group_gt": preds["dn_group_gt"]}
+    main, dn = rtdetr_loss(preds, batch, (h * s0, w * s0), model.nc, dn_meta)
+    aux = hyp.get("moe", 0.01) * aux_total
+    total = main + dn + aux
+    return total, {"loss": total, "box_loss": main, "dn_loss": dn, "cls_loss": jnp.zeros(()),
+                   "dfl_loss": jnp.zeros(()), "aux_loss": aux}
+
+
+RTDETRDetectionModel.compute_loss = _rtdetr_loss
