@@ -1,0 +1,130 @@
+"""YOLOWorld / YOLOE open-vocabulary family (VERDICT r1 #6): text encoders,
+WorldDetect/YOLOEDetect heads, vocabulary swapping, visual prompts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_master_tpu.nn.module import Context
+
+WORLD_MINI = {
+    "nc": 3,
+    "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ],
+    "head": [[[2, 3, 4], 1, "WorldDetect", ["nc", 64, False]]],
+}
+
+
+def test_hash_text_encoder_contract():
+    from yolo_master_tpu.nn.text_model import HashTextEncoder, build_text_encoder
+
+    enc = HashTextEncoder(embed=64)
+    e = enc(["person", "bicycle", "person"])
+    assert e.shape == (3, 64)
+    np.testing.assert_allclose(np.linalg.norm(e, axis=-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(e[0], e[2])  # deterministic
+    assert abs(float(e[0] @ e[1])) < 0.9  # distinct prompts separate
+    # similar strings land closer than unrelated ones
+    e2 = enc(["person", "a person", "volcano eruption"])
+    assert float(e2[0] @ e2[1]) > float(e2[0] @ e2[2])
+    assert build_text_encoder("hash", embed=32).encode_text(["x"]).shape == (1, 32)
+
+
+def test_world_detect_forward_and_decode():
+    from yolo_master_tpu.nn.tasks import WorldModel
+
+    m = WorldModel(WORLD_MINI)
+    p = m.init_params(0)
+    out = m.forward_predict(p, jnp.zeros((1, 64, 64, 3)), Context(training=False))
+    assert out.shape[-1] == 4 + 3  # xywh + K scores
+
+    # training path produces the loss-ready dict with text-scored classes
+    preds = m.forward_train(p, jnp.zeros((2, 64, 64, 3)), Context(training=True))
+    assert preds["one2many"]["scores"].shape[-1] == 3
+
+
+def test_world_set_classes_swaps_vocab():
+    from yolo_master_tpu.nn.tasks import WorldModel
+
+    m = WorldModel(WORLD_MINI)
+    p = m.init_params(0)
+    p2 = m.set_classes(p, ["cat", "dog", "bird", "fish", "horse"])
+    assert m.nc == 5 and m.head.nc == 5
+    out = m.forward_predict(p2, jnp.zeros((1, 64, 64, 3)), Context(training=False))
+    assert out.shape[-1] == 4 + 5
+    # same-size swap changes scores but keeps shapes (no re-trace needed)
+    p3 = m.set_classes(p2, ["car", "bus", "truck", "train", "boat"])
+    out3 = m.forward_predict(p3, jnp.zeros((1, 64, 64, 3)), Context(training=False))
+    assert out3.shape == out.shape
+    assert float(jnp.abs(out3[..., 4:] - out[..., 4:]).max()) > 0
+
+
+def test_yoloe_head_text_and_visual_prompts():
+    from yolo_master_tpu.nn.tasks import YOLOEModel
+
+    cfg = {**WORLD_MINI, "head": [[[2, 3, 4], 1, "YOLOEDetect", ["nc", 64, True]]]}
+    m = YOLOEModel(cfg)
+    p = m.init_params(0)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    out = m.forward_predict(p, x, Context(training=False))
+    assert out.shape[-1] == 4 + 3
+
+    # visual prompts: 2 masks at P3 (stride 8) resolution -> [1, 2, embed]
+    vp = np.zeros((2, 8, 8), np.float32)
+    vp[0, :4, :4] = 1
+    vp[1, 4:, 4:] = 1
+    vpe = m.get_visual_pe(p, x, jnp.asarray(vp)[None])
+    assert vpe.shape == (1, 2, 64)
+    n = np.linalg.norm(np.asarray(vpe), axis=-1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-4)
+    # different prompt regions must embed differently
+    assert float(jnp.abs(vpe[0, 0] - vpe[0, 1]).max()) > 1e-4
+
+
+def test_world_facade_text_prompted_predict():
+    from yolo_master_tpu.models.yolo import YOLOWorld
+
+    class _TinyWorld(YOLOWorld):
+        def __init__(self):
+            # bypass yaml lookup: build from the mini dict
+            from yolo_master_tpu.nn.tasks import WorldModel
+
+            self.task = "world"
+            self.names = {0: "a", 1: "b", 2: "c"}
+            self.backend = None
+            self.ckpt_path = None
+            self.model = WorldModel(WORLD_MINI)
+            self.model_name = "mini-world"
+            self.params = self.model.init_params(0)
+            self._predictor = None
+
+    y = _TinyWorld()
+    y.set_classes(["red box", "blue box"])
+    assert y.model.nc == 2 and y.names[0] == "red box"
+    img = np.full((96, 96, 3), 120, np.uint8)
+    res = y.predict(img, conf=0.0, max_det=4, max_nms=64, imgsz=64)
+    assert len(res) == 1 and res[0].names[1] == "blue box"
+
+
+def test_world_trains_one_step():
+    from yolo_master_tpu.engine.train_step import make_optimizer, make_train_state, make_train_step
+    from yolo_master_tpu.nn.tasks import WorldModel
+
+    m = WorldModel(WORLD_MINI)
+    tx = make_optimizer(0.01, params=m.init_params(0))
+    state = make_train_state(m, seed=0, tx=tx)
+    step = make_train_step(m, tx=tx, imgsz=64, batch_per_step=2, max_gt=4)
+    batch = {
+        "images": jnp.zeros((2, 64, 64, 3)),
+        "boxes": jnp.asarray([[[8, 8, 40, 40]] + [[0, 0, 0, 0]] * 3] * 2, jnp.float32),
+        "classes": jnp.zeros((2, 4), jnp.int32),
+        "mask": jnp.asarray([[True, False, False, False]] * 2),
+    }
+    state, metrics = step(state, batch)
+    assert float(metrics["finite"]) == 1.0 and np.isfinite(float(metrics["loss"]))

@@ -1,3 +1,3 @@
-from .yolo import YOLO
+from .yolo import YOLO, YOLOE, YOLOWorld
 
-__all__ = ["YOLO"]
+__all__ = ["YOLO", "YOLOE", "YOLOWorld"]

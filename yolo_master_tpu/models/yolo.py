@@ -23,6 +23,8 @@ from ..nn.tasks import (
     RTDETRDetectionModel,
     SegmentationModel,
     SemanticSegmentationModel,
+    WorldModel,
+    YOLOEModel,
 )
 from ..utils import LOGGER
 
@@ -34,6 +36,8 @@ TASK_MODELS = {
     "classify": ClassificationModel,
     "semantic": SemanticSegmentationModel,
     "rtdetr": RTDETRDetectionModel,
+    "world": WorldModel,
+    "yoloe": YOLOEModel,
 }
 
 
@@ -76,6 +80,10 @@ class YOLO:
                 return {"seg": "segment", "cls": "classify"}.get(key, key)
         if "rtdetr" in name:
             return "rtdetr"
+        if "yoloe" in name:
+            return "yoloe"
+        if "world" in name:
+            return "world"
         return "detect"
 
     # -- weights ---------------------------------------------------------------
@@ -142,7 +150,8 @@ class YOLO:
         """Per-task trainer dispatch (reference task_map, models/yolo/model.py:88)."""
         from ..engine.trainers_task import TASK_TRAINERS
 
-        trainer_cls = TASK_TRAINERS.get(self.task)
+        task = {"world": "detect", "yoloe": "detect"}.get(self.task, self.task)
+        trainer_cls = TASK_TRAINERS.get(task)
         if trainer_cls is None:
             raise NotImplementedError(f"no trainer for task '{self.task}'")
         trainer = trainer_cls(self, **kwargs)
@@ -224,7 +233,58 @@ class YOLO:
 
         return Tuner(train_fn, save_dir=save_dir)(iterations)
 
+    def set_classes(self, classes, encoder=None):
+        """Swap the open-vocabulary class set (YOLOWorld/YOLOE; reference
+        Model.set_classes). Encodes prompts and installs the text bank."""
+        if not hasattr(self.model, "set_classes"):
+            raise AttributeError(f"task '{self.task}' has no text vocabulary (use a -world/-yoloe model)")
+        self.params = self.model.set_classes(self.params, list(classes), encoder)
+        self.names = dict(enumerate(classes))
+        self._predictor = None  # vocabulary changed: rebuild the predict graph
+        return self
+
     def info(self):
         n = self.model.num_params(self.params)
         LOGGER.info(f"{self.model_name}: {n:,} params (incl. BN stats), strides {getattr(self.model, 'head_strides', None)}")
         return n
+
+
+class YOLOWorld(YOLO):
+    """Open-vocabulary facade (reference models/yolo/model.py YOLOWorld):
+    YOLO with a text-conditioned WorldDetect head + set_classes()."""
+
+    def __init__(self, model: str = "yolo-master-world", **kw):
+        super().__init__(model, task="world", **kw)
+
+
+class YOLOE(YOLO):
+    """Text/visual-prompt facade (reference models/yolo/model.py YOLOE)."""
+
+    def __init__(self, model: str = "yolo-master-yoloe", **kw):
+        super().__init__(model, task="yoloe", **kw)
+
+    def get_visual_pe(self, image_bgr, prompt_masks):
+        """[1,Q,embed] visual prompt embeddings from binary masks drawn over
+        the image (reference YOLOEModel.get_visual_pe)."""
+        import jax.numpy as jnp
+
+        from ..data.letterbox import letterbox
+
+        lb, _, _ = letterbox(image_bgr, (640, 640))
+        x = jnp.asarray(lb[..., ::-1].astype(np.float32) / 255.0)[None]
+        vp = jnp.asarray(prompt_masks, jnp.float32)[None]  # [1,Q,H/8,W/8]
+        return self.model.get_visual_pe(self.params, x, vp)
+
+    def set_vocab_from_visual(self, image_bgr, prompt_masks, names):
+        """Use visual prompt embeddings AS the vocabulary (prompt-free flow)."""
+        vpe = np.asarray(self.get_visual_pe(image_bgr, prompt_masks))[0]
+        from ..nn.module import dict_copy
+
+        params = dict_copy(self.params)
+        params["layers"][str(self.model.specs[-1].i)]["txt_feats"] = vpe
+        self.params = params
+        self.model.nc = len(names)
+        self.model.head.nc = len(names)
+        self.names = dict(enumerate(names))
+        self._predictor = None
+        return self

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, find_model_yaml, guess_scale, make_divisible, yaml_load
 from .heads import OBB, Classify, Detect, Pose, Segment, SemanticSegment
+from .world import WorldDetect, YOLOEDetect
 from .layers import (
     AIFI,
     A2C2f,
@@ -87,6 +88,8 @@ MODULE_REGISTRY: Dict[str, type] = {
     "OBB": OBB,
     "Classify": Classify,
     "SemanticSegment": SemanticSegment,
+    "WorldDetect": WorldDetect,
+    "YOLOEDetect": YOLOEDetect,
     "RTDETRDecoder": "rtdetr",  # resolved lazily (circular import)
     "ES_MOE": ES_MOE,
     "A2C2fMoE": A2C2fMoE,
@@ -119,7 +122,7 @@ MIXTURE_MODULES = {
     ContextRefinedLowRankHybridAdaptiveGateMoE, VisualEnhancedAdaptiveGateMoE,
     OptimalHybridGateMoE, GatedFusionMoE,
 }
-HEAD_MODULES = {Detect, Segment, Pose, OBB}
+HEAD_MODULES = {Detect, Segment, Pose, OBB, WorldDetect, YOLOEDetect}
 
 
 class LayerSpec:
@@ -566,6 +569,64 @@ class RTDETRDetectionModel(BaseModel):
         ctx = ctx or Context(training=False)
         preds = self.forward_features(p, x, ctx)
         return self.head.decode(preds, (x.shape[1], x.shape[2]))
+
+
+class WorldModel(DetectionModel):
+    """YOLO-World open-vocabulary detection (reference nn/tasks.py:1072):
+    a DetectionModel whose head scores regions against a text-embedding
+    vocabulary. Swap vocabularies with :meth:`set_classes` (param surgery)."""
+
+    task = "detect"
+
+    def set_classes(self, params: Params, texts, encoder=None) -> Params:
+        """Encode class prompts and install them as the head vocabulary.
+
+        Returns a NEW params tree with the replaced ``txt_feats`` leaf; also
+        updates model/head nc to len(texts) (a vocabulary-size change re-jits
+        once; same-size swaps are free)."""
+        from .text_model import HashTextEncoder
+
+        encoder = encoder or HashTextEncoder(embed=self.head.embed)
+        txt = jnp.asarray(encoder.encode_text(list(texts)), jnp.float32)
+        from .module import dict_copy
+
+        params = dict_copy(params)
+        params["layers"][str(self.specs[-1].i)]["txt_feats"] = txt
+        self.nc = len(texts)
+        self.head.nc = len(texts)
+        self.names = dict(enumerate(texts))
+        return params
+
+
+class YOLOEModel(WorldModel):
+    """YOLOE prompt-or-prompt-free detection (reference nn/tasks.py:1202):
+    WorldModel + SwiGLU text adapter + SAVPE visual prompts."""
+
+    def get_visual_pe(self, params: Params, x: jnp.ndarray, vp: jnp.ndarray, ctx: Optional[Context] = None):
+        """[B,Q,embed] visual prompt embeddings from masks vp [B,Q,H/8,W/8]."""
+        ctx = ctx or Context(training=False)
+        feats = self._head_inputs(params, x, ctx)
+        hp = params["layers"][str(self.specs[-1].i)]
+        return self.head.get_vpe(hp, feats, vp, ctx)
+
+    def _head_inputs(self, params: Params, x: jnp.ndarray, ctx: Context):
+        """Run the graph up to (excluding) the head; return its input feats."""
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        lp = params["layers"]
+        for spec in self.specs[:-1]:
+            f = spec.f
+            if f != -1:
+                inp = (y if f == -1 else saved[f % spec.i]) if isinstance(f, int) else [
+                    y if j == -1 else saved[j % spec.i] for j in f
+                ]
+            else:
+                inp = y
+            y = spec.module(lp[str(spec.i)], inp, ctx)
+            if spec.i in self.save:
+                saved[spec.i] = y
+        head_f = self.specs[-1].f
+        return [y if j == -1 else saved[j] for j in head_f]
 
 
 def _rtdetr_loss(model, preds, batch, aux_total, hyp):
