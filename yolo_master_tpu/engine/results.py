@@ -84,6 +84,17 @@ class Results:
     def __len__(self):
         return len(self.boxes) if self.boxes is not None else 0
 
+    def filter(self, keep) -> "Results":
+        """Keep only the detections selected by a boolean/index array (used by
+        FastSAM prompt filtering and the classes= post-filter)."""
+        import numpy as np
+
+        if self.boxes is not None:
+            self.boxes = Boxes(self.boxes.data[np.asarray(keep)], self.orig_shape)
+        if self.masks is not None:
+            self.masks = self.masks[np.asarray(keep)]
+        return self
+
     def summary(self, normalize: bool = False, decimals: int = 5) -> List[dict]:
         out = []
         if self.boxes is None:
