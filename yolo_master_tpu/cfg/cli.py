@@ -17,7 +17,7 @@ from typing import Any, Dict
 from ..utils import LOGGER
 from . import get_default_cfg
 
-TASKS = ("detect", "segment", "classify", "pose", "obb")
+TASKS = ("detect", "segment", "classify", "pose", "obb", "semantic")
 MODES = ("train", "val", "predict", "export", "track", "benchmark")
 
 INT_KEYS = {"epochs", "patience", "batch", "imgsz", "seed", "workers", "max_det", "max_nms", "max_gt",
@@ -115,6 +115,27 @@ def entrypoint(argv=None) -> int:
 
         out = export_model(yolo.model, yolo.params, fmt=cfg["format"], imgsz=cfg["imgsz"], int8=cfg["int8"], nms=cfg["nms"])
         LOGGER.info(f"exported: {out}")
+        return 0
+    if mode == "track":
+        if not cfg.get("source"):
+            raise SystemExit("track requires source=... (video/stream/images)")
+        results = yolo.track(
+            cfg["source"],
+            tracker=cfg.get("tracker") or "bytetrack",
+            conf=cfg.get("conf") or 0.25,
+            iou=0.45 if cfg.get("iou") is None else cfg["iou"],
+            imgsz=cfg["imgsz"],
+            max_det=cfg["max_det"],
+            vid_stride=int(cfg.get("vid_stride") or 1),
+        )
+        for r in results:
+            ids = [int(t[4]) for t in r.tracks] if r.tracks is not None else []
+            LOGGER.info(f"{r.path}#{getattr(r, 'frame', 0)}: {len(ids)} tracks {ids}")
+        return 0
+    if mode == "benchmark":
+        out = yolo.benchmark(imgsz=cfg["imgsz"], data=cfg.get("data"))
+        for fmt, row in out.items():
+            LOGGER.info(f"benchmark {fmt}: {row}")
         return 0
     raise SystemExit(f"mode '{mode}' not implemented yet")
 

@@ -3,5 +3,20 @@ from .heatmap import Heatmap
 from .speed import SpeedEstimator
 from .distance import DistanceCalculator
 from .queue import QueueManager
+from .apps import (
+    AIGym,
+    Analytics,
+    InstanceSegmentationOverlay,
+    ObjectBlurrer,
+    ObjectCropper,
+    ParkingManagement,
+    SecurityAlarm,
+    TrackZone,
+    VisionEye,
+)
 
-__all__ = ["ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator", "DistanceCalculator", "QueueManager"]
+__all__ = [
+    "ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator", "DistanceCalculator",
+    "QueueManager", "ParkingManagement", "Analytics", "AIGym", "TrackZone",
+    "ObjectBlurrer", "ObjectCropper", "VisionEye", "SecurityAlarm", "InstanceSegmentationOverlay",
+]
