@@ -25,12 +25,14 @@ def main():
     from yolo_master_tpu.nn.tasks import DetectionModel
     from yolo_master_tpu.ops.nms import non_max_suppression
 
+    from yolo_master_tpu.utils.fuse import fuse_bn_params
+
     model = DetectionModel("yolo-master-n")
     params = jax.device_put(
-        jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), model.init_params(0))
+        jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), fuse_bn_params(model.init_params(0)))
     )
 
-    def make_chained(reps):
+    def make_chained(reps, bs=1):
         @jax.jit
         def run(p, x0):
             def body(i, carry):
@@ -47,9 +49,8 @@ def main():
 
         return run
 
-    x0 = jnp.full((1, 640, 640, 3), 0.5, jnp.bfloat16)
-
-    def timed(run, n=7):
+    def timed(run, bs=1, n=7):
+        x0 = jnp.full((bs, 640, 640, 3), 0.5, jnp.bfloat16)
         float(run(params, x0))  # compile + warm
         ts = []
         for _ in range(n):
@@ -62,15 +63,21 @@ def main():
     t1 = timed(make_chained(1))
     t41 = timed(make_chained(41))
     per_iter = (t41 - t1) / 40
+    # throughput row: bs=16 chained (per-image cost is bandwidth-roofline-bound,
+    # see NOTES_ROUND2 — forward moves ~1GB/s-equivalent HBM traffic per image)
+    bt1 = timed(make_chained(1, 16), 16)
+    bt21 = timed(make_chained(21, 16), 16)
+    thr = 16.0 / ((bt21 - bt1) / 20)
 
     baseline_ms = 1.62  # reference YOLO-Master-N published latency
     print(
         json.dumps(
             {
-                "metric": "yolo-master-n e2e device latency @640 bs=1 (bf16 fwd+decode+pallas NMS, 1 chip, chained-iteration timing)",
+                "metric": "yolo-master-n e2e device latency @640 bs=1 (bf16 fused fwd+decode+pallas NMS, 1 chip, chained-iteration timing)",
                 "value": round(per_iter, 4),
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / per_iter, 4),
+                "throughput_bs16_img_per_s": round(thr * 1000, 1),
             }
         )
     )

@@ -3,6 +3,8 @@ test_export_roundtrip.py, test_cli.py)."""
 
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -93,3 +95,36 @@ def test_cli_parsing():
         parse_args(["modell=x"])
     with pytest.raises(SystemExit, match="unknown positional"):
         parse_args(["detekt"])
+
+
+def test_fuse_bn_params_exact(mini):
+    """Conv+BN folding must be numerically exact at eval (deploy surgery)."""
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.utils.fuse import fuse_bn_params
+
+    m, p = mini
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    y0 = m.forward_predict(p, x, Context(training=False))
+    y1 = m.forward_predict(fuse_bn_params(p), x, Context(training=False))
+    assert float(jnp.abs(y0 - y1).max()) < 1e-4
+
+
+def test_decode_topk_matches_full_decode(mini):
+    """The top-k fast decode must select exactly the NMS prefilter's
+    candidates (same boxes/logits as full decode + top-k)."""
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.nn.module import Context
+
+    m, p = mini
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    preds = m.forward_train(p, x, Context(training=False))
+    full = m.head.decode(preds, raw_scores=True)  # [B, A, 4+nc]
+    k = 16
+    fast = m.head.decode_topk(preds, k=k)
+    conf = jnp.max(full[..., 4:], -1)
+    _, idx = jax.lax.top_k(conf, k)
+    ref = jnp.take_along_axis(full, idx[..., None], 1)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-4)

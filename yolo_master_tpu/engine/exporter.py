@@ -97,6 +97,11 @@ def export_model(
         Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
+    # fold Conv+BN before graph capture (reference fuses at export,
+    # exporter.py:536 deepcopy+fuse); numerically exact at eval
+    from ..utils.fuse import fuse_bn_params
+
+    params = fuse_bn_params(params)
     infer, example = _build_infer_fn(model, params, imgsz, nms, max_det=max_det)
 
     if fmt == "stablehlo":

@@ -154,6 +154,31 @@ class Detect(Module):
             scores = jax.nn.sigmoid(scores)
         return jnp.concatenate([dbox, scores], -1)
 
+    def decode_topk(self, preds: dict, k: int = 1024, hw_shapes=None) -> jnp.ndarray:
+        """Latency fast path: select the top-k anchors by class-logit max
+        FIRST, then DFL-decode only those k boxes (8400 -> k anchors, ~8x less
+        decode work at k=1024). Returns [B, k, 4+nc] with xywh px boxes and
+        raw LOGIT scores (feed to NMS with scores_are_logits=True).
+
+        Equivalent to decode(raw_scores=True) followed by the NMS top-k
+        prefilter (single-label path): argmax/max over classes commute with
+        sigmoid, and NMS only ever reads the top max_nms candidates.
+        """
+        branch = preds["one2one"] if self.end2end else preds["one2many"]
+        hw_shapes = hw_shapes or preds["hw_shapes"]
+        anchors, strides = make_anchors(hw_shapes, self.strides)
+        logits = branch["scores"].astype(jnp.float32)  # [B, A, nc]
+        conf = jnp.max(logits, -1)
+        k = min(k, conf.shape[1])
+        _, idx = jax.lax.top_k(conf, k)  # [B, k]
+        box_logits = jnp.take_along_axis(branch["boxes"].astype(jnp.float32), idx[..., None], 1)
+        sel_logits = jnp.take_along_axis(logits, idx[..., None], 1)
+        a_sel = anchors[idx]  # [B, k, 2]
+        s_sel = strides[idx]
+        dist = dfl_decode(box_logits, self.reg_max)
+        dbox = dist2bbox(dist, a_sel, xywh=True) * s_sel
+        return jnp.concatenate([dbox, sel_logits], -1)
+
     def postprocess_end2end(self, decoded: jnp.ndarray, max_det: int = 300) -> jnp.ndarray:
         """In-graph top-k for NMS-free end2end mode (reference head.py:216-262).
 

@@ -33,7 +33,10 @@ class DepthwiseSeparableConv(Module):
     def __call__(self, p: Params, x, ctx: Context):
         y = conv2d(x, p["depthwise"]["w"], stride=self.s, padding=self.pad, groups=self.c1)
         y = conv2d(y, p["pointwise"]["w"])
-        y = self.bn(p["bn"], y, ctx)
+        if "b" in p["pointwise"]:  # deploy-fused form (utils/fuse.py)
+            y = y + p["pointwise"]["b"].astype(y.dtype)
+        elif "bn" in p:
+            y = self.bn(p["bn"], y, ctx)
         return silu(y)
 
 

@@ -1,0 +1,49 @@
+"""Deploy-time parameter surgery: fold BatchNorm into the preceding conv
+(reference: ultralytics/utils/torch_utils.py:315 fuse_conv_and_bn, applied by
+BaseModel.fuse before export/benchmark).
+
+Pure pytree surgery — no module changes. Conv.__call__ detects the fused form
+by the presence of params["conv"]["b"] and the absence of the "bn" subtree.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _is_bn(node) -> bool:
+    return isinstance(node, dict) and {"scale", "bias", "mean", "var"} <= set(node)
+
+
+def fuse_bn_params(params, eps: float = 1e-3):
+    """Return a new params tree with Conv+BN pairs folded.
+
+    Folds two layouts:
+      * Conv:                  {"conv": {"w"}, "bn": {...}}
+      * DepthwiseSeparableConv {"depthwise", "pointwise", "bn"} (fold into pw)
+    Standalone BatchNorms (e.g. ES-MoE output norm) are left untouched.
+    """
+
+    def fold(w, b, bn):
+        inv = bn["scale"] / jnp.sqrt(bn["var"] + eps)
+        w2 = w * inv[None, None, None, :]
+        b2 = (b if b is not None else 0.0) * inv + bn["bias"] - bn["mean"] * inv
+        return w2, b2
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        bn = out.get("bn")
+        if _is_bn(bn):
+            if "conv" in out and isinstance(out["conv"], dict) and "w" in out["conv"]:
+                w2, b2 = fold(out["conv"]["w"], out["conv"].get("b"), bn)
+                out["conv"] = {"w": w2, "b": b2}
+                del out["bn"]
+            elif "pointwise" in out and isinstance(out["pointwise"], dict) and "w" in out["pointwise"]:
+                w2, b2 = fold(out["pointwise"]["w"], out["pointwise"].get("b"), bn)
+                out["pointwise"] = {"w": w2, "b": b2}
+                del out["bn"]
+        return out
+
+    return walk(params)
