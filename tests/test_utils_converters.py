@@ -1,0 +1,128 @@
+"""utils batch (autobatch / model_info / SettingsManager / Profile) +
+data converters (COCO->YOLO, autosplit, tile splitting)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_autobatch_binary_search():
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.utils.autobatch import autobatch
+
+    def build_step(bs):
+        def step(x):
+            return (x @ jnp.ones((512, 512), jnp.float32)).sum()
+
+        return step
+
+    def args_fn(bs):
+        return (jax.ShapeDtypeStruct((bs, 4096, 512), jnp.float32),)
+
+    # tiny budget: [bs,4096,512] f32 = 8MB/batch-row; 100MB budget -> bs<=8
+    b = autobatch(build_step, args_fn, fraction=1.0, hbm_bytes=100 * 1024**2, max_batch=64)
+    assert 4 <= b <= 8, b
+
+
+def test_model_info_gflops():
+    from yolo_master_tpu.nn.tasks import DetectionModel
+    from yolo_master_tpu.utils.info import model_info
+
+    cfg = {
+        "nc": 2,
+        "backbone": [[-1, 1, "Conv", [16, 3, 2]], [-1, 1, "Conv", [32, 3, 2]],
+                     [-1, 1, "Conv", [32, 3, 2]], [-1, 1, "Conv", [32, 3, 2]], [-1, 1, "Conv", [32, 3, 2]]],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc"]]],
+    }
+    m = DetectionModel(cfg)
+    out = model_info(m, m.init_params(0), imgsz=64, verbose=False)
+    assert out["params"] > 1000 and out["gflops"] > 0
+
+
+def test_settings_manager(tmp_path):
+    from yolo_master_tpu.utils.settings import SettingsManager
+
+    path = tmp_path / "settings.json"
+    s = SettingsManager(path)
+    assert path.exists() and s["sync"] is False
+    s.update(tensorboard=True)
+    s2 = SettingsManager(path)  # reload round-trip
+    assert s2["tensorboard"] is True
+    with pytest.raises(KeyError):
+        s.update(bogus=1)
+    s.reset()
+    assert SettingsManager(path)["tensorboard"] is False
+
+
+def test_coco_converter_and_autosplit(tmp_path):
+    import cv2
+
+    from yolo_master_tpu.data.converter import autosplit, convert_coco
+
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 100, "height": 50}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "iscrowd": 0},  # coco91 id 1 = person -> 0
+            {"image_id": 1, "category_id": 90, "bbox": [50, 20, 10, 10], "iscrowd": 0},  # toothbrush -> 79
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 5, 5], "iscrowd": 1},  # crowd: dropped
+        ],
+    }
+    jpath = tmp_path / "instances.json"
+    jpath.write_text(json.dumps(ann))
+    out = convert_coco(str(jpath), str(tmp_path / "labels"))
+    rows = (tmp_path / "labels" / "a.txt").read_text().splitlines()
+    assert len(rows) == 2
+    cls0, xc, yc, w, h = rows[0].split()
+    assert cls0 == "0" and abs(float(xc) - 0.2) < 1e-4 and abs(float(h) - 0.4) < 1e-4
+    assert rows[1].split()[0] == "79"
+
+    imgs = tmp_path / "ds" / "images"
+    imgs.mkdir(parents=True)
+    for i in range(10):
+        cv2.imwrite(str(imgs / f"{i}.jpg"), np.zeros((8, 8, 3), np.uint8))
+    files = autosplit(str(imgs), weights=(0.8, 0.2, 0.0))
+    train = (tmp_path / "ds" / "autosplit_train.txt").read_text().splitlines()
+    val = (tmp_path / "ds" / "autosplit_val.txt").read_text().splitlines()
+    assert len(train) == 8 and len(val) == 2
+
+
+def test_tile_splitter(tmp_path):
+    import cv2
+
+    from yolo_master_tpu.data.converter import split_images_and_labels
+
+    root = tmp_path / "big"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    img = np.zeros((200, 300, 3), np.uint8)
+    cv2.imwrite(str(root / "images" / "train" / "x.jpg"), img)
+    # one object centered at (50, 50), one at (250, 150)
+    (root / "labels" / "train" / "x.txt").write_text(
+        f"0 {50/300:.6f} {50/200:.6f} 0.1 0.1\n1 {250/300:.6f} {150/200:.6f} 0.1 0.1"
+    )
+    out = split_images_and_labels(str(root), "train", crop_size=128, gap=28)
+    from pathlib import Path
+
+    tiles = sorted(Path(out).glob("labels/train/*.txt"))
+    assert len(tiles) >= 2
+    all_rows = [r for t in tiles for r in t.read_text().splitlines()]
+    assert any(r.startswith("0 ") for r in all_rows) and any(r.startswith("1 ") for r in all_rows)
+    # tile coords re-normalized into [0, 1]
+    for r in all_rows:
+        vals = [float(v) for v in r.split()[1:]]
+        assert all(0 <= v <= 1 for v in vals)
+
+
+def test_profile_timer():
+    import time
+
+    from yolo_master_tpu.utils.info import Profile
+
+    p = Profile()
+    for _ in range(3):
+        with p:
+            time.sleep(0.01)
+    assert p.n == 3 and 8 < p.avg_ms < 100

@@ -1,0 +1,297 @@
+"""Agent skill layer: a JSON-contract dispatcher for LLM/automation callers
+(reference: agent/runtime/cli/dispatcher.py + core_handlers.py, 10.4k LoC —
+the contract is: request {"skill", "inputs", "params", "dry_run"} -> response
+{"skill", "status": ok|failed, "summary", ...}; exit 0 iff status ok).
+
+Usage:
+    python -m yolo_master_tpu.agent --json '{"skill": "yolo.system"}'
+    echo '{"skill": "yolo.predict", "inputs": {"model": "yolo-master-n",
+          "source": "img.jpg"}}' | python -m yolo_master_tpu.agent
+
+Every runner maps onto the public framework APIs; ``dry_run: true`` returns
+the execution plan without running anything (the reference's plan_response).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+from pathlib import Path
+from typing import Any, Callable, Dict
+
+from .utils import LOGGER
+
+
+def response(skill: str, status: str, summary: str, **kw) -> Dict[str, Any]:
+    return {"skill": skill, "status": status, "summary": summary, **kw}
+
+
+def plan_response(request: dict, summary: str, target: str) -> Dict[str, Any]:
+    return response(
+        request["skill"], "ok", summary, dry_run=True,
+        plan={"target": target, "inputs": request.get("inputs", {}), "params": request.get("params", {})},
+    )
+
+
+def _yolo(inputs: dict):
+    from .models.yolo import YOLO
+
+    return YOLO(inputs.get("model", "yolo-master-n"), task=inputs.get("task"))
+
+
+# ---------------------------------------------------------------------------
+# Runners
+# ---------------------------------------------------------------------------
+
+def run_system(request: dict) -> dict:
+    """Environment doctor (reference yolo.system.doctor)."""
+    import jax
+
+    import yolo_master_tpu
+
+    devs = [str(d) for d in jax.devices()]
+    return response(
+        request["skill"], "ok", f"{len(devs)} device(s), backend {jax.default_backend()}",
+        devices=devs, backend=jax.default_backend(), jax_version=jax.__version__,
+        framework_version=getattr(yolo_master_tpu, "__version__", "0.1.0"),
+    )
+
+
+def run_model_inspect(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    if request.get("dry_run"):
+        return plan_response(request, "inspect model", "utils.info.model_info")
+    y = _yolo(inputs)
+    info = y.info(imgsz=int(request.get("params", {}).get("imgsz", 640)))
+    return response(request["skill"], "ok", f"{info['params']:,} params, {info['gflops']} GFLOPs", **info)
+
+
+def run_train(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    params = dict(request.get("params", {}))
+    if not inputs.get("data"):
+        raise ValueError("yolo.train requires inputs.data")
+    if request.get("dry_run"):
+        return plan_response(request, "train model", "engine.trainers_task")
+    y = _yolo(inputs)
+    out = y.train(data=inputs["data"], **params)
+    return response(request["skill"], "ok", f"trained: fitness {out.get('best_fitness', 0):.4f}",
+                    metrics={k: float(v) for k, v in out.items() if isinstance(v, (int, float))})
+
+
+def run_val(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    if not inputs.get("data"):
+        raise ValueError("yolo.val requires inputs.data")
+    if request.get("dry_run"):
+        return plan_response(request, "validate model", "engine.validator")
+    y = _yolo(inputs)
+    out = y.val(data=inputs["data"], **request.get("params", {}))
+    return response(request["skill"], "ok", f"mAP50-95 {out.get('mAP50-95', out.get('fitness', 0)):.4f}",
+                    metrics={k: float(v) for k, v in out.items() if isinstance(v, (int, float))})
+
+
+def run_predict(request: dict, mode: str = "predict") -> dict:
+    inputs = request.get("inputs", {})
+    if not inputs.get("source"):
+        raise ValueError(f"yolo.{mode} requires inputs.source")
+    if request.get("dry_run"):
+        return plan_response(request, f"{mode} over source", "engine.predictor")
+    y = _yolo(inputs)
+    fn = y.track if mode == "track" else y.predict
+    results = fn(inputs["source"], **request.get("params", {}))
+    rows = []
+    for r in results:
+        row = {"path": r.path, "detections": len(r)}
+        if mode == "track" and getattr(r, "tracks", None) is not None:
+            row["track_ids"] = [int(t[4]) for t in r.tracks]
+        rows.append(row)
+    return response(request["skill"], "ok", f"{len(rows)} result(s)", results=rows)
+
+
+def run_export(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    params = request.get("params", {})
+    if request.get("dry_run"):
+        return plan_response(request, "export model", "engine.exporter")
+    y = _yolo(inputs)
+    path = y.export(format=params.get("format", "saved_model"), imgsz=int(params.get("imgsz", 640)),
+                    nms=bool(params.get("nms", True)), output=params.get("output"))
+    return response(request["skill"], "ok", f"exported to {path}", artifact=path)
+
+
+def run_benchmark(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    params = request.get("params", {})
+    if request.get("dry_run"):
+        return plan_response(request, "benchmark export formats", "YOLO.benchmark")
+    y = _yolo(inputs)
+    out = y.benchmark(imgsz=int(params.get("imgsz", 640)),
+                      formats=tuple(params.get("formats", ("npz", "stablehlo"))), data=params.get("data"))
+    ok = sum(1 for v in out.values() if v.get("ok"))
+    return response(request["skill"], "ok", f"{ok}/{len(out)} formats ok", results=out)
+
+
+def run_tune(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    params = dict(request.get("params", {}))
+    if not inputs.get("data"):
+        raise ValueError("yolo.tune requires inputs.data")
+    if request.get("dry_run"):
+        return plan_response(request, "evolve hyperparameters", "engine.tuner")
+    y = _yolo(inputs)
+    best = y.tune(data=inputs["data"], iterations=int(params.pop("iterations", 5)),
+                  epochs=int(params.pop("epochs", 5)), **params)
+    return response(request["skill"], "ok", "tuning done", best_hyp=best)
+
+
+def run_moe_diagnose(request: dict) -> dict:
+    """Routing health report (reference yolo.lora.diagnose / moe analysis)."""
+    inputs = request.get("inputs", {})
+    if request.get("dry_run"):
+        return plan_response(request, "diagnose MoE routing", "nn.moe.analysis.diagnose_model")
+    import numpy as np
+
+    from .nn.moe.analysis import diagnose_model
+
+    y = _yolo(inputs)
+    rng = np.random.default_rng(0)
+    batches = [rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32) for _ in range(2)]
+    report = diagnose_model(y.model, y.params, batches)
+    return response(request["skill"], "ok", f"{len(report.get('blocks', report))} routed blocks", report=report)
+
+
+def run_moe_prune(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    params = request.get("params", {})
+    if request.get("dry_run"):
+        return plan_response(request, "prune underused experts", "nn.moe.pruning")
+    import numpy as np
+
+    from .nn.moe.pruning import collect_usage_stats, prune_moe_model
+
+    y = _yolo(inputs)
+    rng = np.random.default_rng(0)
+    batches = [rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32) for _ in range(2)]
+    usage = collect_usage_stats(y.model, y.params, batches)
+    model2, params2 = prune_moe_model(y.model, y.params, usage,
+                                      threshold=float(params.get("threshold", 0.15)))
+    report = {k: v.tolist() for k, v in usage.items()}
+    out_path = params.get("output")
+    if out_path:
+        from .utils.checkpoint import save_params_npz
+
+        save_params_npz(params2, out_path)
+    return response(request["skill"], "ok", "pruned", report=report, artifact=out_path)
+
+
+def run_sahi_compare(request: dict) -> dict:
+    """Dense vs sparse-SAHI comparison (reference yolo.eval.sparse_sahi_compare)."""
+    inputs = request.get("inputs", {})
+    if not inputs.get("source"):
+        raise ValueError("requires inputs.source")
+    if request.get("dry_run"):
+        return plan_response(request, "compare dense vs sparse-SAHI", "engine.sahi")
+    import time
+
+    import cv2
+
+    from .engine.sahi import SparseSAHIPredictor
+
+    y = _yolo(inputs)
+    im = cv2.imread(str(inputs["source"]))
+    params = request.get("params", {})
+    t0 = time.perf_counter()
+    dense = y.predict(im, conf=float(params.get("conf", 0.25)))
+    t_dense = time.perf_counter() - t0
+    sp = SparseSAHIPredictor(y.model, y.params, slice_size=int(params.get("slice_size", 640)))
+    t0 = time.perf_counter()
+    sparse = sp(im)
+    t_sparse = time.perf_counter() - t0
+    return response(
+        request["skill"], "ok", "compared",
+        dense={"detections": len(dense[0]), "sec": round(t_dense, 3)},
+        sparse={"detections": len(sparse), "sec": round(t_sparse, 3)},
+    )
+
+
+def run_solutions(request: dict) -> dict:
+    inputs = request.get("inputs", {})
+    params = request.get("params", {})
+    app = inputs.get("app", "counter")
+    if request.get("dry_run"):
+        return plan_response(request, f"run solutions app '{app}'", f"solutions.{app}")
+    from . import solutions
+
+    apps = {
+        "counter": lambda: solutions.ObjectCounter(line=params.get("line", ((0, 0), (0, 100)))),
+        "heatmap": lambda: solutions.Heatmap(shape=tuple(params.get("shape", (64, 64)))),
+        "queue": lambda: solutions.QueueManager(region=params.get("region", [(0, 0), (50, 0), (50, 50), (0, 50)])),
+        "trackzone": lambda: solutions.TrackZone(zone=params.get("zone", [(0, 0), (50, 0), (50, 50), (0, 50)])),
+        "analytics": lambda: solutions.Analytics(),
+    }
+    if app not in apps:
+        raise ValueError(f"unknown solutions app '{app}' (choices: {sorted(apps)})")
+    sol = apps[app]()
+    y = _yolo(inputs)
+    n_frames = 0
+    for r in y.track(inputs["source"], stream=True, conf=float(params.get("conf", 0.25))):
+        sol.update(r.tracks)
+        n_frames += 1
+    state = {k: v for k, v in vars(sol).items() if isinstance(v, (int, float, str))}
+    return response(request["skill"], "ok", f"{app} over {n_frames} frames", state=state)
+
+
+HANDLERS: Dict[str, Callable[[dict], dict]] = {
+    "yolo.system": run_system,
+    "yolo.system.doctor": run_system,
+    "yolo.model.inspect": run_model_inspect,
+    "yolo.train": run_train,
+    "yolo.val": run_val,
+    "yolo.predict": lambda r: run_predict(r, "predict"),
+    "yolo.track": lambda r: run_predict(r, "track"),
+    "yolo.export": run_export,
+    "yolo.benchmark": run_benchmark,
+    "yolo.tune": run_tune,
+    "yolo.moe.diagnose": run_moe_diagnose,
+    "yolo.moe.prune": run_moe_prune,
+    "yolo.eval.sparse_sahi_compare": run_sahi_compare,
+    "yolo.solutions.run": run_solutions,
+}
+
+
+def dispatch(request: dict) -> dict:
+    """Route one JSON request; never raises (errors become failed payloads)."""
+    skill = None
+    try:
+        skill = request.get("skill")
+        if skill not in HANDLERS:
+            raise ValueError(f"unsupported skill: {skill} (choices: {sorted(HANDLERS)})")
+        return HANDLERS[skill](request)
+    except Exception as exc:  # noqa: BLE001
+        return response(skill or "unknown", "failed", str(exc),
+                        error={"type": type(exc).__name__, "traceback": traceback.format_exc()})
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="JSON skill dispatcher for yolo_master_tpu")
+    parser.add_argument("--request", help="path to a JSON request file")
+    parser.add_argument("--json", help="inline JSON request")
+    parser.add_argument("--pretty", action="store_true")
+    args = parser.parse_args(argv)
+    if args.request:
+        request = json.loads(Path(args.request).read_text())
+    elif args.json:
+        request = json.loads(args.json)
+    else:
+        request = json.loads(sys.stdin.read())
+    payload = dispatch(request)
+    print(json.dumps(payload, indent=2 if args.pretty else None, default=str))
+    return 0 if payload.get("status") == "ok" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -243,7 +243,12 @@ class YOLO:
         self._predictor = None  # vocabulary changed: rebuild the predict graph
         return self
 
-    def info(self):
+    def info(self, imgsz: int = 640, detailed: bool = True):
+        """Params + compiled-graph GFLOPs (reference Model.info)."""
+        if detailed and hasattr(self.model, "forward_train"):
+            from ..utils.info import model_info
+
+            return model_info(self.model, self.params, imgsz=imgsz)
         n = self.model.num_params(self.params)
         LOGGER.info(f"{self.model_name}: {n:,} params (incl. BN stats), strides {getattr(self.model, 'head_strides', None)}")
         return n
