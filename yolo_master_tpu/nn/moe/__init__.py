@@ -11,6 +11,16 @@ from .routers import DynamicRoutingLayer, soft_top_k, hard_top_k
 from .experts import DepthwiseSeparableConv, EfficientExpertGroup
 from .es_moe import ES_MOE
 from .losses import gshard_balance_loss, router_z_loss
+from .ultimate import (
+    AdaptiveBalanceController,
+    AdaptiveCapacityMoE,
+    AdvancedRoutingLayer,
+    HyperUltimateMoE,
+    UltimateOptimizedMoE,
+    UltraEfficientRouter,
+    UltraOptimizedMoE,
+)
+from .dynamic import DyC2f, DyMoEBlock, DynamicExpert, MoEGate
 
 __all__ = [
     "DynamicRoutingLayer",
@@ -21,4 +31,15 @@ __all__ = [
     "ES_MOE",
     "gshard_balance_loss",
     "router_z_loss",
+    "AdaptiveBalanceController",
+    "AdaptiveCapacityMoE",
+    "AdvancedRoutingLayer",
+    "HyperUltimateMoE",
+    "UltimateOptimizedMoE",
+    "UltraEfficientRouter",
+    "UltraOptimizedMoE",
+    "DyC2f",
+    "DyMoEBlock",
+    "DynamicExpert",
+    "MoEGate",
 ]

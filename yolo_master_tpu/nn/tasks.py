@@ -43,6 +43,13 @@ from .layers import (
 from .module import Context, Module, ModuleList, Params, apply_updates
 from .moe import ES_MOE
 from .moe.mixtures import A2C2fMoE, ABlockMoE, OptimizedMOEImproved
+from .moe.ultimate import (
+    AdaptiveCapacityMoE,
+    HyperUltimateMoE,
+    UltimateOptimizedMoE,
+    UltraOptimizedMoE,
+)
+from .moe.dynamic import DyC2f, DyMoEBlock
 from .moa import C2fMoA, MoABlock, NeckMoAFusion
 from .mot import C2fMoT, MoTBlock
 from .latent_mixture import LatentMixture, MultiScaleLatentMixture
@@ -111,9 +118,18 @@ MODULE_REGISTRY: Dict[str, type] = {
     "VisualEnhancedAdaptiveGateMoE": VisualEnhancedAdaptiveGateMoE,
     "OptimalHybridGateMoE": OptimalHybridGateMoE,
     "GatedFusionMoE": GatedFusionMoE,
+    "UltraOptimizedMoE": UltraOptimizedMoE,
+    "AdaptiveCapacityMoE": AdaptiveCapacityMoE,
+    "HyperUltimateMoE": HyperUltimateMoE,
+    "UltimateOptimizedMoE": UltimateOptimizedMoE,
+    # OptimizedMOE (modules.py:742) = the Improved block with its legacy fixed
+    # router/expert config; registered as a config-alias, not a copy.
+    "OptimizedMOE": OptimizedMOEImproved,
+    "DyC2f": DyC2f,
+    "DyMoEBlock": DyMoEBlock,
 }
 
-REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT, RepC3}
+REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT, RepC3, DyC2f}
 BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify, RepC3, RepConv}
 MIXTURE_MODULES = {
     ES_MOE, A2C2fMoE, OptimizedMOEImproved, C2fMoA, C2fMoT, MoABlock, MoTBlock,
@@ -121,6 +137,8 @@ MIXTURE_MODULES = {
     LowRankHybridAdaptiveGateMoE, RefinedLowRankHybridAdaptiveGateMoE,
     ContextRefinedLowRankHybridAdaptiveGateMoE, VisualEnhancedAdaptiveGateMoE,
     OptimalHybridGateMoE, GatedFusionMoE,
+    UltraOptimizedMoE, AdaptiveCapacityMoE, HyperUltimateMoE, UltimateOptimizedMoE,
+    DyC2f, DyMoEBlock,
 }
 HEAD_MODULES = {Detect, Segment, Pose, OBB, WorldDetect, YOLOEDetect}
 
