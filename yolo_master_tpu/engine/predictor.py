@@ -122,7 +122,8 @@ class DetectionPredictor:
                         "valid": conf_ok,
                     }
                 # logits fast path: candidate selection pre-sigmoid (monotonic)
-                decoded = self.model.head.decode(preds, raw_scores=supports_raw)
+                decoded = (self.model.head.decode(preds, raw_scores=True)
+                           if supports_raw else self.model.head.decode(preds))
                 return non_max_suppression(
                     decoded,
                     nc=self.model.nc,

@@ -107,7 +107,10 @@ class YOLO:
         pred_keys = {"imgsz", "conf", "iou", "max_det", "max_nms", "agnostic_nms", "classes", "batch", "compute_dtype"}
         cfg = {k: v for k, v in kwargs.items() if k in pred_keys}
         if self._predictor is None or cfg:
-            self._predictor = DetectionPredictor(self.model, self.params, names=self.names, backend=self.backend, **cfg)
+            from ..engine.predictors_task import TASK_PREDICTORS
+
+            pred_cls = TASK_PREDICTORS.get(self.task, DetectionPredictor)
+            self._predictor = pred_cls(self.model, self.params, names=self.names, backend=self.backend, **cfg)
         self._predictor.params = self.params
         return self._predictor(source, stream=stream, vid_stride=vid_stride)
 
@@ -134,6 +137,8 @@ class YOLO:
         results_iter = self.predict(source, stream=True, vid_stride=vid_stride, **kwargs)
 
         def associate():
+            from ..engine.results import Boxes
+
             for r in results_iter:
                 if r.boxes is None or len(r.boxes) == 0:
                     r.tracks = np.zeros((0, 7), np.float32)
@@ -141,6 +146,11 @@ class YOLO:
                     r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, img=r.orig_img)
                 else:
                     r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls)
+                if len(r.tracks):
+                    # adopt the tracker's output as the boxes (reference
+                    # trackers/track.py on_predict_postprocess_end:
+                    # res.update(boxes=tracks)) — Boxes.is_track carries ids
+                    r.boxes = Boxes(r.tracks, r.orig_shape)
                 yield r
 
         return associate() if stream else list(associate())
