@@ -74,8 +74,14 @@ def plan_lora_targets(params, cfg: LoRAConfig) -> List[str]:
     return targets
 
 
-def init_lora(params, cfg: LoRAConfig, targets: Optional[List[str]] = None) -> Dict[str, dict]:
-    """Adapter tree: {dotted_path: {"A": [fan_in, r] (gaussian), "B": [r, out] (zeros)}}."""
+def init_lora(params, cfg: LoRAConfig, targets: Optional[List[str]] = None,
+              rank_map: Optional[Dict[str, int]] = None,
+              alpha_map: Optional[Dict[str, float]] = None) -> Dict[str, dict]:
+    """Adapter tree: {dotted_path: {"A": [fan_in, r] (gaussian), "B": [r, out] (zeros)}}.
+
+    ``rank_map``/``alpha_map`` give per-target ranks/alphas (the vPEFT
+    placement-plan path, reference vpeft/placement_plan.py); unmapped targets
+    fall back to cfg.r / cfg.alpha."""
     targets = targets if targets is not None else plan_lora_targets(params, cfg)
     key = jax.random.PRNGKey(cfg.seed)
     adapters = {}
@@ -84,17 +90,31 @@ def init_lora(params, cfg: LoRAConfig, targets: Optional[List[str]] = None) -> D
         leaf = leaves[dotted]
         fan_in = int(np.prod(leaf.shape[:-1]))
         out = leaf.shape[-1]
+        r = int((rank_map or {}).get(dotted, cfg.r))
         k = jax.random.fold_in(key, i)
         adapters[dotted] = {
-            "A": jax.random.normal(k, (fan_in, cfg.r), jnp.float32) / np.sqrt(fan_in),
-            "B": jnp.zeros((cfg.r, out), jnp.float32),
+            "A": jax.random.normal(k, (fan_in, r), jnp.float32) / np.sqrt(fan_in),
+            "B": jnp.zeros((r, out), jnp.float32),
         }
     LOGGER.info(f"LoRA: {len(adapters)} targets, r={cfg.r}")
     return adapters
 
 
-def merge_lora(params, adapters: Dict[str, dict], scale: float, train: bool = True):
-    """Effective params = stop_grad(base) + scale * (A@B) at each target."""
+def scale_map(adapters: Dict[str, dict], alpha: float = 16.0,
+              alpha_map: Optional[Dict[str, float]] = None) -> Dict[str, float]:
+    """Per-target merge scales alpha_t / r_t (r read off the adapter shapes)."""
+    return {
+        t: float((alpha_map or {}).get(t, alpha)) / max(ad["A"].shape[-1], 1)
+        for t, ad in adapters.items()
+    }
+
+
+def merge_lora(params, adapters: Dict[str, dict], scale, train: bool = True):
+    """Effective params = stop_grad(base) + scale * (A@B) at each target.
+
+    ``scale`` may be a float (uniform alpha/r) or a {target: float} map from
+    :func:`scale_map` (per-target vPEFT ranks)."""
+    scales = scale if isinstance(scale, dict) else None
 
     def walk(node, prefix=()):
         if not isinstance(node, dict):
@@ -103,7 +123,8 @@ def merge_lora(params, adapters: Dict[str, dict], scale: float, train: bool = Tr
                 ad = adapters[dotted]
                 base = jax.lax.stop_gradient(node) if train else node
                 delta = (ad["A"] @ ad["B"]).reshape(node.shape)
-                return base + scale * delta.astype(node.dtype)
+                s = scales.get(dotted, 1.0) if scales is not None else scale
+                return base + s * delta.astype(node.dtype)
             return jax.lax.stop_gradient(node) if train else node
         return {k: walk(v, prefix + (k,)) for k, v in node.items()}
 
