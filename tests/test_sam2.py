@@ -1,0 +1,85 @@
+"""SAM2 video memory attention (VERDICT r1 row 56 beachhead): memory bank,
+RoPE attention shapes, prompt-then-propagate over a synthetic clip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_master_tpu.models.sam2 import (
+    MemoryAttention,
+    MemoryEncoder,
+    RoPEAttention,
+    SAM2Model,
+    SAM2VideoPredictor,
+)
+from yolo_master_tpu.nn.module import Context
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_rope_attention_shapes_and_exclusion():
+    attn = RoPEAttention(64, 2, kv_in_dim=16, feat_size=(4, 4)).finalize("a")
+    p = attn.init(KEY)
+    q = jax.random.normal(KEY, (1, 16, 64))
+    k = jax.random.normal(KEY, (1, 36, 16))  # 2 frames of 16 + 4 obj ptr tokens
+    out = attn(p, q, k, k, Context(), num_k_exclude_rope=4)
+    assert out.shape == (1, 16, 64) and jnp.isfinite(out).all()
+
+
+def test_memory_attention_and_encoder():
+    ma = MemoryAttention(64, num_layers=2, mem_dim=16, feat_size=(4, 4)).finalize("ma")
+    p = ma.init(KEY)
+    curr = jax.random.normal(KEY, (1, 16, 64))
+    mem = jax.random.normal(KEY, (1, 48, 16))
+    out = ma(p, curr, mem, Context())
+    assert out.shape == curr.shape and jnp.isfinite(out).all()
+
+    me = MemoryEncoder(dim=64, mem_dim=16).finalize("me")
+    pm = me.init(KEY)
+    pix = jax.random.normal(KEY, (1, 4, 4, 64))
+    mask = jax.random.normal(KEY, (1, 16, 16, 1))
+    out = me(pm, pix, mask, Context())
+    assert out.shape == (1, 4, 4, 16)
+
+
+@pytest.fixture(scope="module")
+def sam2_pred():
+    return SAM2VideoPredictor(img_size=64, seed=0)
+
+
+def _clip(n=3):
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n):
+        f = np.full((48, 64, 3), 100, np.uint8)
+        f[10 + i: 30 + i, 20 + i: 44 + i] = (0, 0, 220)  # moving box
+        frames.append(f)
+    return frames
+
+
+def test_prompt_then_propagate(sam2_pred):
+    frames = _clip(3)
+    mask0, iou0 = sam2_pred.add_prompt(frames[0], [(32, 20)], [1])
+    assert mask0.shape == frames[0].shape[:2] and mask0.dtype == bool
+    assert np.any(sam2_pred.bank["valid"])
+    m1, _ = sam2_pred.propagate(frames[1])
+    m2, _ = sam2_pred.propagate(frames[2])
+    assert m1.shape == m2.shape == frames[0].shape[:2]
+    # memory ring advanced: cond slot + at least two recent slots
+    assert sam2_pred.bank["valid"][:3].sum() >= 3
+
+
+def test_facade_over_frame_list(sam2_pred):
+    sam2_pred.reset()
+    out = sam2_pred(_clip(3), points=[(32, 20)], labels=[1])
+    assert len(out) == 3
+    for mask, iou in out:
+        assert mask.shape == (48, 64)
+
+
+def test_bank_is_static_shape(sam2_pred):
+    bank = sam2_pred.model.empty_bank()
+    T = sam2_pred.model.grid ** 2
+    assert bank["feat"].shape == (sam2_pred.model.num_maskmem, T, sam2_pred.model.mem_dim)
+    assert not bool(bank["valid"].any())

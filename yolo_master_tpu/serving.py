@@ -1,0 +1,183 @@
+"""gRPC model serving: Triton-analog inference server + client.
+
+Reference: SURVEY.md §2.9 deliverable (b) — the reference deploys through
+Triton Inference Server (gRPC ModelInfer protocol); this module provides the
+TPU-native equivalent: a gRPC service fronting the jitted predict graph
+(or any AutoBackend artifact), plus a thin client.
+
+RPC surface (mirrors Triton's core trio):
+    /ymt.Inference/ServerLive      -> liveness probe
+    /ymt.Inference/ModelMetadata   -> names/shapes/task/imgsz JSON
+    /ymt.Inference/ModelInfer      -> batched tensor in, detection tensors out
+
+Wire format: gRPC with a self-describing binary tensor codec instead of
+compiled protobuf stubs (grpc_python_plugin is not in this image; gRPC's
+generic handlers accept arbitrary serializers). Layout per message:
+    [4-byte little-endian header length][JSON header][raw tensor buffers]
+    header = {"tensors": [{"name", "dtype", "shape"}...], "meta": {...}}
+Buffers follow in header order, C-contiguous. Any gRPC client in any
+language can speak it with ~20 lines of code.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from concurrent import futures
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .utils import LOGGER
+
+SERVICE = "ymt.Inference"
+
+
+# ---------------------------------------------------------------------------
+# Tensor codec
+# ---------------------------------------------------------------------------
+
+def encode(tensors: Dict[str, np.ndarray], meta: Optional[dict] = None) -> bytes:
+    names = list(tensors)
+    header = {
+        "tensors": [
+            {"name": n, "dtype": str(tensors[n].dtype), "shape": list(tensors[n].shape)}
+            for n in names
+        ],
+        "meta": meta or {},
+    }
+    hb = json.dumps(header).encode()
+    parts = [struct.pack("<I", len(hb)), hb]
+    for n in names:
+        parts.append(np.ascontiguousarray(tensors[n]).tobytes())
+    return b"".join(parts)
+
+
+def decode(blob: bytes):
+    (hlen,) = struct.unpack_from("<I", blob, 0)
+    header = json.loads(blob[4: 4 + hlen])
+    off = 4 + hlen
+    tensors = {}
+    for spec in header["tensors"]:
+        dt = np.dtype(spec["dtype"])
+        n = int(np.prod(spec["shape"])) if spec["shape"] else 1
+        size = n * dt.itemsize
+        tensors[spec["name"]] = np.frombuffer(blob, dt, n, off).reshape(spec["shape"])
+        off += size
+    return tensors, header.get("meta", {})
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+class InferenceServer:
+    """Serves a predictor's jitted graph over gRPC.
+
+    ``predictor`` is any object with ``model``/``params``/``imgsz`` and a
+    ``_get_fn(bs)`` device graph (DetectionPredictor and the task predictors
+    qualify) — the server feeds preprocessed NHWC float batches straight to
+    the graph, so serving latency is the compiled-graph latency."""
+
+    def __init__(self, predictor, names: Optional[Dict[int, str]] = None, max_workers: int = 4):
+        self.predictor = predictor
+        self.names = names or getattr(predictor, "names", {})
+        self.max_workers = max_workers
+        self._server = None
+
+    # -- handlers -----------------------------------------------------------
+    def _live(self, request: bytes, ctx) -> bytes:
+        return encode({}, {"live": True})
+
+    def _metadata(self, request: bytes, ctx) -> bytes:
+        p = self.predictor
+        return encode({}, {
+            "name": type(p.model).__name__ if p.model is not None else "backend",
+            "imgsz": list(p.imgsz),
+            "nc": p.model.nc if p.model is not None else p.backend.nc,
+            "names": {str(k): v for k, v in self.names.items()},
+            "inputs": [{"name": "images", "dtype": "float32",
+                        "shape": [-1, p.imgsz[0], p.imgsz[1], 3]}],
+            "outputs": [{"name": n} for n in ("boxes", "scores", "classes", "valid")],
+        })
+
+    def _infer(self, request: bytes, ctx) -> bytes:
+        import jax
+        import jax.numpy as jnp
+
+        tensors, meta = decode(request)
+        x = tensors["images"].astype(np.float32)
+        bs = x.shape[0]
+        pad_to = max(1, 1 << (bs - 1).bit_length())
+        if pad_to != bs:
+            x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
+        out = self.predictor._get_fn(pad_to)(self.predictor.params,
+                                             jnp.asarray(x, self.predictor.compute_dtype))
+        out = jax.tree_util.tree_map(lambda a: np.asarray(a)[:bs], out)
+        return encode({k: v for k, v in out.items()}, {"batch": bs})
+
+    # -- lifecycle ------------------------------------------------------------
+    def start(self, port: int = 0, address: str = "127.0.0.1") -> int:
+        """Start serving; returns the bound port (0 = ephemeral)."""
+        import grpc
+
+        rpcs = {
+            "ServerLive": self._live,
+            "ModelMetadata": self._metadata,
+            "ModelInfer": self._infer,
+        }
+        handlers = {
+            name: grpc.unary_unary_rpc_method_handler(
+                fn, request_deserializer=None, response_serializer=None)
+            for name, fn in rpcs.items()
+        }
+        self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=self.max_workers))
+        self._server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(SERVICE, handlers),))
+        port = self._server.add_insecure_port(f"{address}:{port}")
+        self._server.start()
+        LOGGER.info(f"InferenceServer listening on {address}:{port}")
+        return port
+
+    def stop(self, grace: float = 0.5):
+        if self._server is not None:
+            self._server.stop(grace)
+            self._server = None
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+class InferenceClient:
+    """Thin Triton-style client over the same codec."""
+
+    def __init__(self, target: str = "127.0.0.1:8001", timeout: float = 30.0):
+        import grpc
+
+        self.channel = grpc.insecure_channel(target)
+        self.timeout = timeout
+        self._rpc = {
+            name: self.channel.unary_unary(f"/{SERVICE}/{name}",
+                                           request_serializer=None,
+                                           response_deserializer=None)
+            for name in ("ServerLive", "ModelMetadata", "ModelInfer")
+        }
+
+    def live(self) -> bool:
+        _, meta = decode(self._rpc["ServerLive"](encode({}), timeout=self.timeout))
+        return bool(meta.get("live"))
+
+    def metadata(self) -> dict:
+        _, meta = decode(self._rpc["ModelMetadata"](encode({}), timeout=self.timeout))
+        return meta
+
+    def infer(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """images: [B, H, W, 3] float32 in [0,1] (already letterboxed)."""
+        blob = self._rpc["ModelInfer"](encode({"images": np.asarray(images, np.float32)}),
+                                       timeout=self.timeout)
+        tensors, _ = decode(blob)
+        return tensors
+
+    def close(self):
+        self.channel.close()
