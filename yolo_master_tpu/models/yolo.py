@@ -45,11 +45,19 @@ class YOLO:
     """User facade over task models (reference engine/model.py Model class)."""
 
     def __init__(self, model: str = "yolo-master-n", task: Optional[str] = None, nc: Optional[int] = None, seed: int = 0):
-        task = task or self._guess_task(str(model))
+        task = task or (self._guess_task(str(model)) if isinstance(model, str) else "detect")
         self.task = task
         self.names: Dict[int, str] = dict(COCO_NAMES)
         self.ckpt_path = None
         self.backend = None
+        if isinstance(model, dict):  # inline cfg dict (reference Model(cfg))
+            if task not in TASK_MODELS:
+                raise KeyError(f"unknown task '{task}' (choices: {list(TASK_MODELS)})")
+            self.model = TASK_MODELS[task](model, nc=nc)
+            self.model_name = model.get("name", "custom")
+            self.params = self.model.init_params(seed)
+            self._predictor = None
+            return
         model = str(model)
         if model.endswith(".pt"):
             raise NotImplementedError(

@@ -14,9 +14,12 @@ from .apps import (
     TrackZone,
     VisionEye,
 )
+from .similarity import SearchApp, VisualAISearch, signature_embed
+from .inference import Inference
 
 __all__ = [
     "ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator", "DistanceCalculator",
     "QueueManager", "ParkingManagement", "Analytics", "AIGym", "TrackZone",
     "ObjectBlurrer", "ObjectCropper", "VisionEye", "SecurityAlarm", "InstanceSegmentationOverlay",
+    "VisualAISearch", "SearchApp", "signature_embed", "Inference",
 ]
