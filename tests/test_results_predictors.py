@@ -159,3 +159,19 @@ def test_classification_predictor_returns_probs():
     r = pred(_scene())[0]
     assert r.probs is not None and len(r.probs) == 4
     assert r.probs.data.sum() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_facade_fuse_is_exact():
+    """YOLO.fuse() (BN fold + s2d stem rewrite) must not change predictions."""
+    from yolo_master_tpu.models import YOLO
+
+    cfg = {"nc": 1, "backbone": _mini_backbone(), "head": [[[2, 3, 4], 1, "Detect", ["nc"]]]}
+    img = _scene()
+    m = YOLO(cfg, task="detect")
+    r0 = m.predict(img, imgsz=96, conf=1e-6, max_det=4, max_nms=256)[0]
+    m.fuse()
+    r1 = m.predict(img, imgsz=96, conf=1e-6, max_det=4, max_nms=256)[0]
+    assert len(r0) == len(r1)
+    if len(r0):
+        np.testing.assert_allclose(r0.boxes.xyxy, r1.boxes.xyxy, atol=0.1)
+        np.testing.assert_allclose(r0.boxes.conf, r1.boxes.conf, atol=1e-3)

@@ -27,7 +27,9 @@ FLOAT_KEYS = {"lr0", "lrf", "momentum", "weight_decay", "warmup_epochs", "box", 
               "hsv_h", "hsv_s", "hsv_v", "fliplr", "flipud", "mosaic", "mixup", "scale", "translate",
               "lora_alpha", "lora_dropout", "track_high_thresh", "track_low_thresh", "new_track_thresh", "match_thresh"}
 BOOL_KEYS = {"save", "val", "resume", "amp", "cos_lr", "half", "agnostic_nms", "augment", "retina_masks",
-             "cluster", "weighted", "sparse_sahi", "int8", "nms", "dynamic", "lora", "molora"}
+             "cluster", "weighted", "sparse_sahi", "int8", "nms", "dynamic", "lora", "molora",
+             "save_txt", "save_conf", "save_crop", "save_json", "show", "rect", "multi_scale",
+             "single_cls", "plots", "albumentations"}
 
 
 def parse_value(key: str, value: str) -> Any:
@@ -89,8 +91,18 @@ def entrypoint(argv=None) -> int:
             imgsz=cfg["imgsz"],
             max_det=cfg["max_det"],
         )
-        for r in results:
+        from pathlib import Path
+
+        out_dir = Path(cfg.get("project") or "runs") / (cfg.get("name") or f"{task}_predict")
+        for i, r in enumerate(results):
             LOGGER.info(f"{r.path}: {len(r)} dets  {[s['name'] for s in r.summary()]}")
+            stem = Path(r.path).stem if r.path not in ("", "array") else f"im{i}"
+            if cfg.get("save_txt"):
+                r.save_txt(str(out_dir / "labels" / f"{stem}.txt"), save_conf=bool(cfg.get("save_conf")))
+            if cfg.get("save_crop"):
+                r.save_crop(str(out_dir / "crops"), f"{stem}.jpg")
+            if cfg.get("save") and (cfg.get("save_txt") or cfg.get("save_crop") or cfg.get("show")):
+                r.save(str(out_dir / f"{stem}.jpg"))
         return 0
     if mode == "train":
         if not cfg.get("data"):

@@ -111,8 +111,12 @@ class YOLODataset:
         h0, w0 = im.shape[:2]
         lbl = self.labels[idx].copy()
 
-        if self.augment and self.mosaic_enabled and self.hyp["mosaic"] > 0 and rng.random() < self.hyp["mosaic"]:
-            im, lbl = self._mosaic4(idx, rng)
+        use_mosaic = self.augment and self.mosaic_enabled and self.hyp["mosaic"] > 0 and rng.random() < self.hyp["mosaic"]
+        if use_mosaic:
+            if self.hyp.get("mosaic9", 0) > 0 and rng.random() < self.hyp["mosaic9"]:
+                im, lbl = self._mosaic9(idx, rng)
+            else:
+                im, lbl = self._mosaic4(idx, rng)
             h0, w0 = im.shape[:2]
             # mosaic labels already in pixel xyxy
             boxes_px = lbl[:, 1:5]
@@ -221,11 +225,52 @@ class YOLODataset:
             lbl = np.zeros((0, 5), np.float32)
         return canvas, lbl
 
+    def _mosaic9(self, idx: int, rng: random.Random):
+        """9-image mosaic (reference data/augment.py Mosaic n=9): 3x3 grid of
+        per-cell-fitted images on a 3*imgsz canvas; labels offset per cell."""
+        import cv2
+
+        s = self.imgsz
+        idxs = [idx] + [rng.randrange(len(self)) for _ in range(8)]
+        canvas = np.full((s * 3, s * 3, 3), 114, np.uint8)
+        all_labels = []
+        for i, ix in enumerate(idxs):
+            im = cv2.imread(self.img_files[ix])
+            h0, w0 = im.shape[:2]
+            r = s / max(h0, w0)
+            im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=cv2.INTER_LINEAR)
+            h, w = im.shape[:2]
+            ox, oy = (i % 3) * s, (i // 3) * s  # cell origin
+            # jitter placement inside the cell
+            dx = rng.randrange(max(s - w, 0) + 1)
+            dy = rng.randrange(max(s - h, 0) + 1)
+            canvas[oy + dy: oy + dy + h, ox + dx: ox + dx + w] = im
+            lbl = self.labels[ix]
+            if len(lbl):
+                cls = lbl[:, 0:1]
+                bw, bh = lbl[:, 3] * w, lbl[:, 4] * h
+                bxc = lbl[:, 1] * w + ox + dx
+                byc = lbl[:, 2] * h + oy + dy
+                xyxy = np.stack([bxc - bw / 2, byc - bh / 2, bxc + bw / 2, byc + bh / 2], -1)
+                all_labels.append(np.concatenate([cls, xyxy], -1))
+        if all_labels:
+            lbl = np.concatenate(all_labels, 0)
+            lbl[:, 1:5] = lbl[:, 1:5].clip(0, 3 * s)
+            wh = lbl[:, 3:5] - lbl[:, 1:3]
+            lbl = lbl[(wh > 2).all(1)]
+        else:
+            lbl = np.zeros((0, 5), np.float32)
+        return canvas, lbl
+
     def _augment_hsv_flip(self, im: np.ndarray, boxes: np.ndarray, rng: random.Random):
         """RandomHSV + RandomFlip (reference augment.py:1403,1480). im is BGR."""
         import cv2
 
         h = self.hyp
+        if h.get("albumentations"):
+            im = self._albumentations(im, rng)
+        if h.get("bgr", 0) and rng.random() < h["bgr"]:
+            im = im[..., ::-1]  # channel flip (reference augment.py bgr)
         if h["hsv_h"] or h["hsv_s"] or h["hsv_v"]:
             r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [h["hsv_h"], h["hsv_s"], h["hsv_v"]] + 1
             hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
@@ -247,6 +292,28 @@ class YOLODataset:
                 boxes = boxes.copy()
                 boxes[:, [1, 3]] = hgt - boxes[:, [3, 1]]
         return np.ascontiguousarray(im), boxes
+
+    _warned_album = False
+
+    def _albumentations(self, im: np.ndarray, rng: random.Random) -> np.ndarray:
+        """Pixel-level extras routed through albumentations when installed
+        (reference augment.py:1184 Albumentations: Blur/MedianBlur/ToGray/
+        CLAHE at p=0.01); silently skipped (with one warning) otherwise."""
+        try:
+            import albumentations as A  # noqa: N812
+        except ImportError:
+            if not YOLODataset._warned_album:
+                from ..utils import LOGGER
+
+                LOGGER.warning("albumentations not installed; albumentations=True ignored")
+                YOLODataset._warned_album = True
+            return im
+        if not hasattr(self, "_album_tf"):
+            self._album_tf = A.Compose([
+                A.Blur(p=0.01), A.MedianBlur(p=0.01), A.ToGray(p=0.01), A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.0), A.ImageCompression(quality_range=(75, 100), p=0.0),
+            ])
+        return self._album_tf(image=im)["image"]
 
 
 def collate(samples: List[Tuple[np.ndarray, np.ndarray]], max_gt: int) -> Dict[str, np.ndarray]:

@@ -88,8 +88,43 @@ class ClassificationTrainer(DetectionTrainer):
         return ClassificationValidator(model=self.model, data=self.data, imgsz=self.imgsz, batch=min(self.batch, 16))
 
 
+class WorldTrainer(DetectionTrainer):
+    """YOLO-World open-vocabulary training (reference models/yolo/world/
+    train.py + train_world.py): trains a WorldModel on a multimodal or
+    grounding dataset, installing the epoch's text vocabulary as head
+    ``txt_feats`` before the jitted step (param surgery, same-shape swaps
+    re-use the compiled graph)."""
+
+    task = "detect"
+
+    def __init__(self, yolo, data, json_file: str = "", neg_prompts=None,
+                 neg_samples: int = 0, text_encoder=None, **kw):
+        self.json_file = json_file
+        self.neg_prompts = neg_prompts
+        self.neg_samples = neg_samples
+        self.text_encoder = text_encoder
+        super().__init__(yolo, data, **kw)
+        if hasattr(self.model, "set_classes"):
+            texts = self.train_set.sample_texts(seed=self.seed)
+            self.yolo.params = self.model.set_classes(self.yolo.params, texts, encoder=self.text_encoder)
+            self.yolo.names = dict(enumerate(texts))
+
+    def _build_dataset(self, data, split):
+        from ..data.multimodal import GroundingDataset, YOLOMultiModalDataset
+
+        if self.json_file:
+            return GroundingDataset(data, split=split, json_file=self.json_file,
+                                    imgsz=self.imgsz, max_gt=self.max_gt,
+                                    augment=split == "train", hyp=self.hyp)
+        return YOLOMultiModalDataset(data, split=split, imgsz=self.imgsz, max_gt=self.max_gt,
+                                     augment=split == "train", hyp=self.hyp,
+                                     neg_prompts=self.neg_prompts, neg_samples=self.neg_samples)
+
+
 TASK_TRAINERS = {
     "detect": DetectionTrainer,
+    "world": WorldTrainer,
+    "yoloe": WorldTrainer,
     "segment": SegmentationTrainer,
     "pose": PoseTrainer,
     "obb": OBBTrainer,

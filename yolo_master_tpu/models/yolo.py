@@ -168,7 +168,7 @@ class YOLO:
         """Per-task trainer dispatch (reference task_map, models/yolo/model.py:88)."""
         from ..engine.trainers_task import TASK_TRAINERS
 
-        task = {"world": "detect", "yoloe": "detect"}.get(self.task, self.task)
+        task = self.task
         trainer_cls = TASK_TRAINERS.get(task)
         if trainer_cls is None:
             raise NotImplementedError(f"no trainer for task '{self.task}'")
@@ -259,6 +259,21 @@ class YOLO:
         self.params = self.model.set_classes(self.params, list(classes), encoder)
         self.names = dict(enumerate(classes))
         self._predictor = None  # vocabulary changed: rebuild the predict graph
+        return self
+
+    def fuse(self) -> "YOLO":
+        """Deploy-time parameter surgery (reference Model.fuse): fold BN into
+        conv biases and rewrite the k3/s2 stem as space-to-depth convs
+        (bit-exact; ~12% e2e on TPU — see nn/layers.py SpaceToDepthConv).
+        Training on a fused model is unsupported (BN stats are gone)."""
+        from ..utils.fuse import fuse_bn_params, s2d_stem
+
+        if self.model is None:
+            return self  # exported-artifact backend: already frozen
+        self.params = fuse_bn_params(self.params)
+        self.params = s2d_stem(self.model, self.params)
+        self._predictor = None  # graph changed: rebuild
+        self._fused = True
         return self
 
     def info(self, imgsz: int = 640, detailed: bool = True):

@@ -47,3 +47,28 @@ def fuse_bn_params(params, eps: float = 1e-3):
         return out
 
     return walk(params)
+
+
+def s2d_stem(model, params, max_layers: int = 2):
+    """Rewrite the leading k3/s2 stem Convs into SpaceToDepthConv form
+    (exact; see nn/layers.py SpaceToDepthConv). Mutates the model's layer
+    specs in place and returns a NEW params tree with remapped stem weights.
+
+    Apply AFTER fuse_bn_params (works either way — both conv/b and bn
+    subtrees are carried through)."""
+    from ..nn.layers import Conv, SpaceToDepthConv
+    from ..nn.module import dict_copy
+
+    params = dict_copy(params)
+    for spec in model.specs[:max_layers]:
+        m = spec.module
+        if not (isinstance(m, Conv) and type(m) is Conv and m.kh == m.kw == 3
+                and m.s == 2 and m.g == 1 and m.d == 1 and m.p == (1, 1)):
+            break
+        s2d = SpaceToDepthConv(m)
+        s2d.finalize(m.path)
+        spec.module = s2d
+        leaf = params["layers"][str(spec.i)]
+        leaf["conv"] = dict(leaf["conv"])
+        leaf["conv"]["w"] = SpaceToDepthConv.remap_weight(leaf["conv"]["w"])
+    return params
