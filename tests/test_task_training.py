@@ -162,4 +162,6 @@ def test_semantic_training(tmp_path):
 def test_yolo_facade_task_trainer_routing():
     from yolo_master_tpu.engine.trainers_task import TASK_TRAINERS
 
-    assert set(TASK_TRAINERS) == {"detect", "segment", "pose", "obb", "classify", "semantic", "rtdetr"}
+    assert set(TASK_TRAINERS) == {
+        "detect", "segment", "pose", "obb", "classify", "semantic", "rtdetr", "world", "yoloe",
+    }

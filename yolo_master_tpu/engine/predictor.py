@@ -141,7 +141,12 @@ class DetectionPredictor:
 
     # -- host pipeline ---------------------------------------------------------
     def preprocess(self, images: List[np.ndarray]):
-        """Letterbox + BGR->RGB + /255, stacked NHWC float batch."""
+        """Letterbox + BGR->RGB + /255, stacked NHWC float batch.
+
+        Models fused with the Pallas stem (``YOLO.fuse(pallas_stem=True)``)
+        set ``input_blob`` and consume the space-to-depth(4) host blob instead
+        — the same host-side blob contract as the reference's TensorRT NCHW
+        input step (reference data/augment.py letterbox + predictor blob)."""
         processed, meta = [], []
         for im in images:
             lb, ratio, pad = letterbox(im, self.imgsz)
@@ -149,6 +154,13 @@ class DetectionPredictor:
             meta.append((im.shape[:2], ratio, pad))
         x = np.stack(processed).astype(np.float32) / 255.0
         return x, meta
+
+    def _to_device_input(self, x: np.ndarray) -> np.ndarray:
+        if self.model is not None and getattr(self.model, "input_blob", False):
+            from ..ops.pallas_stem import s2d4_blob_np
+
+            return s2d4_blob_np(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        return x
 
     def __call__(self, source, stream: bool = False, vid_stride: int = 1, stream_frames: Optional[int] = None):
         """Run inference over any source (images/dirs/globs/arrays/video files/
@@ -189,7 +201,7 @@ class DetectionPredictor:
         pad_to = min(self.batch, 1 << (bs - 1).bit_length())
         if pad_to != bs:
             x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
-        det = self._get_fn(pad_to)(self.params, jnp.asarray(x, self.compute_dtype))
+        det = self._get_fn(pad_to)(self.params, jnp.asarray(self._to_device_input(x), self.compute_dtype))
         det = jax.tree_util.tree_map(np.asarray, det)
         t2 = time.perf_counter()
         results = []

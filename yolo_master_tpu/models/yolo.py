@@ -261,17 +261,31 @@ class YOLO:
         self._predictor = None  # vocabulary changed: rebuild the predict graph
         return self
 
-    def fuse(self) -> "YOLO":
+    def fuse(self, s2d: bool = False, pallas_stem: bool = False, imgsz: int = 640) -> "YOLO":
         """Deploy-time parameter surgery (reference Model.fuse): fold BN into
-        conv biases and rewrite the k3/s2 stem as space-to-depth convs
-        (bit-exact; ~12% e2e on TPU — see nn/layers.py SpaceToDepthConv).
-        Training on a fused model is unsupported (BN stats are gone)."""
-        from ..utils.fuse import fuse_bn_params, s2d_stem
+        conv biases.
+
+        ``pallas_stem=True`` additionally replaces the two k3/s2 stem Convs
+        with one fused Pallas kernel consuming a space-to-depth(4) host blob
+        (ops/pallas_stem.py; measured 1.476 -> 1.194 ms e2e bs=1 and
+        867 -> 1035 img/s bs=16 on v5e @640). The predictor then emits blobs
+        in preprocess; ``imgsz`` must match predict-time imgsz (the kernel is
+        shape-specialized).
+
+        ``s2d=True`` instead rewrites the stem as space-to-depth XLA convs —
+        bit-exact but measured SLOWER end-to-end (the in-graph relayout
+        transpose dominates; see nn/layers.py SpaceToDepthConv), kept for
+        pipelines with pre-block-laid inputs. Training on a fused model is
+        unsupported (BN stats are gone)."""
+        from ..utils.fuse import fuse_bn_params, pallas_stem_fuse, s2d_stem
 
         if self.model is None:
             return self  # exported-artifact backend: already frozen
         self.params = fuse_bn_params(self.params)
-        self.params = s2d_stem(self.model, self.params)
+        if pallas_stem:
+            self.params = pallas_stem_fuse(self.model, self.params, imgsz)
+        elif s2d:
+            self.params = s2d_stem(self.model, self.params)
         self._predictor = None  # graph changed: rebuild
         self._fused = True
         return self

@@ -185,12 +185,13 @@ class SpaceToDepthConv(Module):
     """Inference-time EXACT rewrite of a k=3 s=2 p=1 Conv as a k=2 s=1 conv
     over 2x2 space-to-depth blocks.
 
-    Motivation (measured on TPU v5e): XLA pads NHWC conv operands to the
-    128-lane tile, so the stem convs (C=3->16 @640, 16->32 @320) move ~8-40x
-    their logical bytes through HBM. Re-laying the input as [H/2, W/2, 4C]
-    quadruples the channel dim and quarters the spatial dim — ~2x measured
-    speedup per stem conv with bit-identical outputs (weight taps remapped,
-    out-of-window taps zero).
+    Measured on TPU v5e: the conv itself is ~2x faster on the re-laid input
+    (isolated microbench, bs=8: 1.90 -> 0.98 ms for conv0, 0.81 -> 0.35 ms
+    for conv1), BUT the in-graph relayout transpose costs more than the conv
+    saves — e2e yolo-master-n regresses 1.45 -> 1.91 ms (strided-slice s2d is
+    worse still, 5.0 ms). Kept available (exact, off by default) for inputs
+    that are already block-laid or pipelines that can hoist the relayout into
+    preprocessing; `YOLO.fuse(s2d=True)` opts in.
 
     Derivation: out(i,j) = sum_{di,dj in [-1,1]} w[di+1,dj+1] x[2i+di, 2j+dj];
     with blocks X[r,c,(dr,dc)] = x[2r+dr, 2c+dc] the needed rows 2i-1..2i+1
@@ -236,6 +237,38 @@ class SpaceToDepthConv(Module):
         if self.act == "relu":
             return jax.nn.relu(y)
         return y
+
+
+class PallasStem(Module):
+    """Deploy-time replacement for the two k3/s2 stem Convs: one Pallas kernel
+    over the compact s2d(4) input blob (ops/pallas_stem.py; measured 3.3x vs
+    the XLA stem on v5e — 0.82 ms vs 2.7 ms @bs=8/640px, bit-equal outputs).
+    Consumes the blob layout from s2d4_blob/s2d4_blob_np; models carrying this
+    stem set ``input_blob = True`` so preprocess emits blobs."""
+
+    def __init__(self, conv0: Conv, conv1: Conv, height: int, width: int = 0):
+        super().__init__()
+        for c in (conv0, conv1):
+            assert c.kh == c.kw == 3 and c.s == 2 and c.g == 1 and c.d == 1 and c.p == (1, 1)
+        self.c2 = conv1.c2
+        self.height, self.width = height, width or height
+
+    def __call__(self, p: Params, blob, ctx: Context):
+        from ..ops.pallas_stem import fused_stem
+
+        interpret = jax.default_backend() != "tpu"
+        return fused_stem(blob, p["w0"], p["b0"], p["w1"], p["b1"],
+                          height=self.height, width=self.width, interpret=interpret)
+
+
+class Passthrough(Module):
+    """Identity placeholder for graph nodes absorbed by a fused kernel."""
+
+    def init(self, key) -> Params:
+        return {}
+
+    def __call__(self, p: Params, x, ctx: Context):
+        return x
 
 
 class DWConv(Conv):

@@ -208,9 +208,8 @@ class FusedExpertGroup(Module):
 
 
 class MatMulFusedExperts(FusedExpertGroup):
-    """1x1-kernel fused experts — a pure (grouped) matmul (gated.py:2734)."""
-
-    kernel_size = 1
+    """Registry alias of FusedExpertGroup (gated.py:2734 keeps it k=3 —
+    "alias for now"; the param tree must match for checkpoint import)."""
 
 
 class LowRankFusedExpertGroup(Module):

@@ -72,3 +72,34 @@ def s2d_stem(model, params, max_layers: int = 2):
         leaf["conv"] = dict(leaf["conv"])
         leaf["conv"]["w"] = SpaceToDepthConv.remap_weight(leaf["conv"]["w"])
     return params
+
+
+def pallas_stem_fuse(model, params, imgsz: int, width: int = 0):
+    """Replace the two leading k3/s2 stem Convs with the fused Pallas stem
+    kernel (nn/layers.py PallasStem over ops/pallas_stem.py — 3.3x measured).
+
+    Requires BN-folded params (fuse_bn_params first: the kernel consumes
+    conv biases). Mutates model.specs in place, sets ``model.input_blob``,
+    and returns a NEW params tree whose stem leaves are {w0,b0,w1,b1}.
+    Callers must then feed s2d4 blobs (ops.pallas_stem.s2d4_blob[_np])."""
+    from ..nn.layers import Conv, PallasStem, Passthrough
+    from ..nn.module import dict_copy
+
+    s0, s1 = model.specs[0], model.specs[1]
+    for m in (s0.module, s1.module):
+        if not (isinstance(m, Conv) and type(m) is Conv and m.kh == m.kw == 3
+                and m.s == 2 and m.g == 1 and m.d == 1 and m.p == (1, 1)):
+            raise ValueError("pallas_stem_fuse needs two leading k3/s2 dense Convs")
+    params = dict_copy(params)
+    l0 = params["layers"]["0"]["conv"]
+    l1 = params["layers"]["1"]["conv"]
+    if "b" not in l0 or "b" not in l1:
+        raise ValueError("run fuse_bn_params first (stem kernel consumes conv biases)")
+    stem = PallasStem(s0.module, s1.module, imgsz, width)
+    stem.finalize(s0.module.path)
+    s0.module = stem
+    s1.module = Passthrough()
+    params["layers"]["0"] = {"w0": l0["w"], "b0": l0["b"], "w1": l1["w"], "b1": l1["b"]}
+    params["layers"]["1"] = {}
+    model.input_blob = True
+    return params
