@@ -130,7 +130,8 @@ def test_cli_track_mode(tmp_path):
     assert rc == 0
 
 
-def test_tracker_map_has_four():
+def test_tracker_map_complete():
+    """All six reference tracker families (trackers/__init__.py)."""
     from yolo_master_tpu.trackers import TRACKER_MAP
 
-    assert set(TRACKER_MAP) == {"bytetrack", "botsort", "ocsort", "deepocsort"}
+    assert set(TRACKER_MAP) == {"bytetrack", "botsort", "ocsort", "deepocsort", "fasttrack", "tracktrack"}

@@ -140,7 +140,7 @@ class YOLO:
                 track_buffer=kwargs.pop("track_buffer", 30),
                 match_thresh=kwargs.pop("match_thresh", 0.8),
             )
-        from ..trackers.bot_sort import BOTSORT
+        takes_img = "img" in self._tracker.update.__code__.co_varnames
 
         results_iter = self.predict(source, stream=True, vid_stride=vid_stride, **kwargs)
 
@@ -150,7 +150,7 @@ class YOLO:
             for r in results_iter:
                 if r.boxes is None or len(r.boxes) == 0:
                     r.tracks = np.zeros((0, 7), np.float32)
-                elif isinstance(self._tracker, BOTSORT):
+                elif takes_img:
                     r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, img=r.orig_img)
                 else:
                     r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls)

@@ -17,6 +17,23 @@ def iou_distance(atracks, btracks) -> np.ndarray:
     return 1.0 - box_iou_np(aboxes, bboxes)
 
 
+def bbox_ioa(boxes_a: np.ndarray, boxes_b: np.ndarray, iou: bool = False) -> np.ndarray:
+    """[A, B] intersection over boxes_b area (xyxy), or IoU when ``iou=True``
+    (reference utils/metrics.py bbox_ioa — used by the occlusion-cover and
+    track-aware-NMS checks)."""
+    a = np.asarray(boxes_a, np.float32).reshape(-1, 4)
+    b = np.asarray(boxes_b, np.float32).reshape(-1, 4)
+    ix = np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0])
+    iy = np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1])
+    inter = np.clip(ix, 0, None) * np.clip(iy, 0, None)
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    denom = area_b[None, :]
+    if iou:
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        denom = area_a[:, None] + denom - inter
+    return inter / (denom + 1e-9)
+
+
 def fuse_score(cost_matrix: np.ndarray, detections) -> np.ndarray:
     """Fuse detection confidence into the cost (reference matching.py fuse_score)."""
     if cost_matrix.size == 0:
