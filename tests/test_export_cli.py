@@ -128,3 +128,44 @@ def test_decode_topk_matches_full_decode(mini):
     _, idx = jax.lax.top_k(conf, k)
     ref = jnp.take_along_axis(full, idx[..., None], 1)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_export_tflite_int8_ptq(mini, tmp_path):
+    """int8=True runs post-training range calibration (reference exporter int8
+    arg); artifact stays loadable and metadata records the quantization."""
+    import json
+
+    import tensorflow as tf
+
+    from yolo_master_tpu.engine.exporter import export_model
+
+    m, p = mini
+    tl = export_model(m, p, "tflite", imgsz=64, int8=True, nms=False, output=str(tmp_path / "q.tflite"))
+    assert json.loads(open(tl + ".json").read())["int8"] is True
+    interp = tf.lite.Interpreter(model_path=tl)
+    interp.allocate_tensors()
+    interp.set_tensor(interp.get_input_details()[0]["index"], np.full((1, 64, 64, 3), 0.4, np.float32))
+    interp.invoke()
+
+
+def test_export_format_table_complete():
+    """The format table mirrors the reference's ~18-format export matrix;
+    unavailable formats must carry an actionable reason."""
+    from yolo_master_tpu.engine.exporter import EXPORT_FORMATS
+
+    expected = {"npz", "saved_model", "pb", "tflite", "stablehlo", "onnx", "tfjs", "edgetpu",
+                "openvino", "engine", "coreml", "torchscript", "paddle", "ncnn", "mnn",
+                "rknn", "imx", "executorch"}
+    assert expected <= set(EXPORT_FORMATS)
+    for name, info in EXPORT_FORMATS.items():
+        assert info["available"] or info.get("reason"), f"{name} gated without a reason"
+
+
+def test_export_unavailable_raises_with_reason(mini, tmp_path):
+    from yolo_master_tpu.engine.exporter import EXPORT_FORMATS, export_model
+
+    m, p = mini
+    gated = next(k for k, v in EXPORT_FORMATS.items() if not v["available"])
+    with pytest.raises(RuntimeError, match="unavailable"):
+        export_model(m, p, gated, imgsz=64, output=str(tmp_path / "x"))

@@ -130,7 +130,7 @@ def test_solutions_on_video(mini, video_path):
     assert 1 in speed.speeds and speed.speeds[1] > 0
 
 
-@pytest.mark.parametrize("fmt", ["stablehlo", "saved_model", "tflite"])
+@pytest.mark.parametrize("fmt", ["stablehlo", "saved_model", "pb", "tflite"])
 def test_autobackend_export_then_val_parity(mini, tmp_path, fmt):
     """Export -> AutoBackend -> the backend's detections must match the native
     jit path (the reference validates mAP of every export; here we gate exact

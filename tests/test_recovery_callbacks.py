@@ -107,3 +107,60 @@ def test_csv_logger(tmp_path):
     reg.fire("on_fit_epoch_end", 1, {"loss": 1.2, "box_loss": 0.2})
     text = (tmp_path / "results.csv").read_text().strip().splitlines()
     assert text[0].startswith("epoch") and len(text) == 3
+
+
+def test_integration_callbacks_fanout(tmp_path, monkeypatch):
+    """W&B/MLflow adapters attach when their packages import (faked here) and
+    degrade to no-ops when absent (reference add_integration_callbacks)."""
+    import sys
+    import types
+
+    logged = {}
+
+    fake_wandb = types.ModuleType("wandb")
+
+    class _Run:
+        def log(self, d, step=None):
+            logged.setdefault("wandb", []).append((step, d))
+
+        def finish(self):
+            logged["wandb_done"] = True
+
+    fake_wandb.init = lambda **kw: _Run()
+    fake_mlflow = types.ModuleType("mlflow")
+    fake_mlflow.set_experiment = lambda name: None
+    fake_mlflow.start_run = lambda: object()
+    fake_mlflow.log_metrics = lambda m, step=None: logged.setdefault("mlflow", []).append((step, m))
+    fake_mlflow.end_run = lambda: logged.__setitem__("mlflow_done", True)
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+    monkeypatch.setitem(sys.modules, "mlflow", fake_mlflow)
+
+    from yolo_master_tpu.utils.callbacks import default_callbacks
+
+    reg = default_callbacks(str(tmp_path), integrations=("wandb", "mlflow", "console"))
+    reg.fire("on_fit_epoch_end", 3, {"loss": 1.5, "mAP50(B)": 0.2})
+    reg.fire("on_train_end")
+    assert logged["wandb"][0][0] == 3 and logged["wandb"][0][1]["loss"] == 1.5
+    assert logged["mlflow"][0][1]["mAP50B"] == 0.2  # parens stripped for mlflow key rules
+    assert logged.get("wandb_done") and logged.get("mlflow_done")
+
+    # absent package -> silently skipped
+    monkeypatch.delitem(sys.modules, "wandb")
+    monkeypatch.setattr("builtins.__import__", __import__)
+    reg2 = default_callbacks(str(tmp_path / "b"), integrations=("wandb",))
+    reg2.fire("on_fit_epoch_end", 0, {"loss": 1.0})  # must not raise
+
+
+def test_routing_dashboard_html(tmp_path):
+    import numpy as np
+
+    from yolo_master_tpu.nn.moe.analysis import RoutingHistory, render_dashboard
+
+    h = RoutingHistory(str(tmp_path))
+    h.record(0, {"layers.4.moe": np.array([5, 3, 1, 1])})
+    h.record(1, {"layers.4.moe": np.array([19, 1, 0, 0])})
+    html = open(render_dashboard(h)).read()
+    assert "layers.4.moe" in html and "collapsed" in html and "gini" in html
+    # csv round-trip renders identically
+    html2 = open(render_dashboard(h.save())).read()
+    assert "layers.4.moe" in html2

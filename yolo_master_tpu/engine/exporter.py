@@ -30,12 +30,44 @@ from ..ops.nms import non_max_suppression
 from ..utils import LOGGER
 from ..utils.checkpoint import save_params_npz
 
+def _has(mod: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+# Full reference format table (reference engine/exporter.py export_formats):
+# natively-produced formats are available=True; converter-chain formats probe
+# their toolchain and carry an actionable reason when absent. AutoBackend
+# consumes the metadata sidecar written next to every artifact.
 EXPORT_FORMATS = {
     "npz": {"suffix": ".npz", "available": True},
     "saved_model": {"suffix": "_saved_model", "available": True},
-    "tflite": {"suffix": ".tflite", "available": True},
+    "pb": {"suffix": ".pb", "available": True},  # frozen TF GraphDef
+    "tflite": {"suffix": ".tflite", "available": True},  # + int8=True PTQ
     "stablehlo": {"suffix": ".stablehlo", "available": True},
     "onnx": {"suffix": ".onnx", "available": False, "reason": "onnx/tf2onnx not installed in this image"},
+    "tfjs": {"suffix": "_web_model", "available": _has("tensorflowjs"),
+             "reason": "pip install tensorflowjs, converts the saved_model export"},
+    "edgetpu": {"suffix": "_edgetpu.tflite", "available": False,
+                "reason": "needs the edgetpu_compiler binary over the int8 tflite export"},
+    "openvino": {"suffix": "_openvino_model", "available": _has("openvino"),
+                 "reason": "pip install openvino, converts the onnx/saved_model export"},
+    "engine": {"suffix": ".engine", "available": False,
+               "reason": "TensorRT is CUDA-only; on TPU the deploy path is saved_model/stablehlo (deploy/cpp)"},
+    "coreml": {"suffix": ".mlpackage", "available": _has("coremltools"),
+               "reason": "pip install coremltools, converts the saved_model export"},
+    "torchscript": {"suffix": ".torchscript", "available": False,
+                    "reason": "jax graphs have no torchscript lowering; use stablehlo or onnx"},
+    "paddle": {"suffix": "_paddle_model", "available": _has("x2paddle"),
+               "reason": "pip install x2paddle, converts the onnx export"},
+    "ncnn": {"suffix": "_ncnn_model", "available": False, "reason": "needs the pnnx binary over the onnx export"},
+    "mnn": {"suffix": ".mnn", "available": _has("MNN"), "reason": "pip install MNN, converts the onnx export"},
+    "rknn": {"suffix": "_rknn_model", "available": _has("rknn_toolkit2"),
+             "reason": "pip install rknn-toolkit2 on an RK-NPU host, converts the onnx export"},
+    "imx": {"suffix": "_imx_model", "available": False, "reason": "needs Sony imx500-converter over the int8 onnx export"},
+    "executorch": {"suffix": "_executorch_model", "available": _has("executorch"),
+                   "reason": "pip install executorch, converts via torchscript (unavailable on the TPU path)"},
 }
 
 
@@ -112,12 +144,14 @@ def export_model(
         Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
-    # TF routes
+    # TF routes. Embed BOTH cpu and tpu lowerings: exporting from a
+    # TPU-backend process otherwise pins the XlaCallModule to [TPU] and the
+    # artifact dies on every CPU TF runtime (found driving export on the chip).
     import tensorflow as tf
     from jax.experimental import jax2tf
 
     tf_fn = tf.function(
-        jax2tf.convert(infer, with_gradient=False),
+        jax2tf.convert(infer, with_gradient=False, native_serialization_platforms=("cpu", "tpu")),
         input_signature=[tf.TensorSpec(example.shape, tf.float32, name="images")],
         autograph=False,
     )
@@ -129,11 +163,31 @@ def export_model(
         (out_path / "ymt_metadata.json").write_text(json.dumps(meta, indent=2))
         return str(out_path)
 
+    if fmt == "pb":
+        # frozen GraphDef (reference export_pb): constants folded in, the
+        # C++/TF-serving consumable single-file graph
+        from tensorflow.python.framework.convert_to_constants import convert_variables_to_constants_v2
+
+        frozen = convert_variables_to_constants_v2(tf_fn.get_concrete_function())
+        tf.io.write_graph(frozen.graph.as_graph_def(), str(out_path.parent or "."), out_path.name, as_text=False)
+        meta["inputs"] = [t.name for t in frozen.inputs]
+        meta["outputs"] = [t.name for t in frozen.outputs]
+        Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))
+        return str(out_path)
+
     if fmt == "tflite":
         converter = tf.lite.TFLiteConverter.from_concrete_functions([tf_fn.get_concrete_function()])
         converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
         if int8:
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
+
+            def _rep():  # post-training range calibration batches
+                rng = np.random.default_rng(0)
+                for _ in range(8):
+                    yield [rng.uniform(0, 1, example.shape).astype(np.float32)]
+
+            converter.representative_dataset = _rep
+            meta["int8"] = True
         blob = converter.convert()
         out_path.write_bytes(blob)
         Path(str(out_path) + ".json").write_text(json.dumps(meta, indent=2))

@@ -272,6 +272,11 @@ class DetectionTrainer:
             if self.save_period > 0 and (epoch + 1) % self.save_period == 0:
                 save_train_state(self.state, self.save_dir / "state")
         self.routing_history.save()
+        if self.routing_history.rows:
+            from ..nn.moe.analysis import render_dashboard
+
+            render_dashboard(self.routing_history)  # routing_dashboard.html (reference moe/viz.py)
+        self.callbacks.fire("on_train_end")
         save_params_npz(self.state.ema_params, self.save_dir / "last.npz")
         self.yolo.params = self.state.ema_params
         metrics_out["best_fitness"] = best_fitness

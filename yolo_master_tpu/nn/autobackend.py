@@ -5,6 +5,7 @@ Dispatch by artifact:
   * native      — (model, params) pair, jitted forward+decode on TPU
   * npz         — weights-only checkpoint rebuilt into the named model
   * saved_model — TF SavedModel via the TF runtime
+  * pb          — frozen TF GraphDef pruned to a concrete function
   * tflite      — TFLite flatbuffer via tf.lite.Interpreter
   * stablehlo   — portable bytecode re-hydrated with jax.export
 
@@ -62,6 +63,24 @@ class AutoBackend:
             self._interp.allocate_tensors()
             self._in = self._interp.get_input_details()[0]
             self._outs = self._interp.get_output_details()
+        elif path.suffix == ".pb":
+            self.kind = "pb"
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(path.read_bytes())
+            in_names = [n.split(":")[0] for n in meta.get("inputs", ["images"])]
+            out_names = meta.get("outputs") or [n.name + ":0" for n in gd.node if n.op not in ("Const", "Placeholder")][-1:]
+
+            def _import():
+                tf.compat.v1.import_graph_def(gd, name="")
+
+            wrapped = tf.compat.v1.wrap_function(_import, [])
+            g = wrapped.graph
+            self._fn = wrapped.prune(
+                [g.get_tensor_by_name(f"{in_names[0]}:0")],
+                [g.get_tensor_by_name(n if ":" in n else n + ":0") for n in out_names],
+            )
         elif path.suffix == ".stablehlo":
             self.kind = "stablehlo"
             from jax import export as jexport
@@ -114,6 +133,11 @@ class AutoBackend:
 
             out = self._fn(images=tf.constant(np.asarray(x, np.float32)))
             return next(iter(out.values())).numpy()
+        if self.kind == "pb":
+            import tensorflow as tf
+
+            out = self._fn(tf.constant(np.asarray(x, np.float32)))
+            return (out[0] if isinstance(out, (list, tuple)) else out).numpy()
         if self.kind == "tflite":
             out = []
             xin = np.asarray(x, self._in["dtype"])

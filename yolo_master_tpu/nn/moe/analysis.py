@@ -110,3 +110,46 @@ def diagnose_model(model, params, batches, max_batches: int = 8) -> dict:
     if collapse:
         LOGGER.warning(f"routing collapse detected in {len(collapse)} blocks")
     return report
+
+
+def render_dashboard(history: "RoutingHistory | str", out_path: str | None = None) -> str:
+    """Self-contained HTML routing dashboard (reference moe/viz.py): per-block
+    expert-usage bars for the latest epoch plus the Gini trend per block.
+    Pure HTML/CSS (no JS/deps) so it opens anywhere. Accepts a RoutingHistory
+    or a routing_history.csv path; returns the written HTML path."""
+    if isinstance(history, str):
+        with open(history, newline="") as f:
+            rows = [dict(r) for r in csv.DictReader(f)]
+        out_dir = Path(history).parent
+    else:
+        rows = history.rows
+        out_dir = history.dir
+    out = Path(out_path) if out_path else out_dir / "routing_dashboard.html"
+
+    by_block: Dict[str, list] = {}
+    for r in rows:
+        by_block.setdefault(r["block"], []).append(r)
+
+    def bar(frac: float, color: str = "#4a90d9") -> str:
+        return (f'<div style="background:#eee;width:240px;height:12px;display:inline-block">'
+                f'<div style="background:{color};width:{max(1, int(frac * 240))}px;height:12px"></div></div>')
+
+    parts = ["<html><head><meta charset='utf-8'><title>MoE routing dashboard</title>",
+             "<style>body{font-family:monospace;margin:24px}td,th{padding:2px 10px;text-align:left}</style>",
+             "</head><body><h2>MoE routing dashboard</h2>"]
+    for block, rs in sorted(by_block.items()):
+        rs = sorted(rs, key=lambda r: int(r["epoch"]))
+        last = rs[-1]
+        usage = np.asarray(json.loads(last["usage"]), np.float64)
+        share = usage / max(usage.sum(), 1e-9)
+        collapse = float(share.max()) > 0.9
+        parts.append(f"<h3>{block}{' &#9888; collapsed' if collapse else ''}</h3>")
+        parts.append(f"<p>epoch {last['epoch']} &middot; E={len(usage)} &middot; gini={float(last['gini']):.3f}</p><table>")
+        for e, s in enumerate(share):
+            parts.append(f"<tr><td>expert {e}</td><td>{bar(float(s), '#d9534f' if collapse else '#4a90d9')}</td>"
+                         f"<td>{s:.1%}</td></tr>")
+        parts.append("</table><p>gini trend: " +
+                     " ".join(f"e{r['epoch']}:{float(r['gini']):.2f}" for r in rs[-12:]) + "</p>")
+    parts.append("</body></html>")
+    out.write_text("\n".join(parts))
+    return str(out)

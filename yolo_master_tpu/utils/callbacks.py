@@ -77,14 +77,78 @@ class TensorBoardLogger:
             self.writer.flush()
 
 
-def default_callbacks(save_dir: str, tensorboard: bool = False) -> CallbackRegistry:
+class WandbLogger:
+    """Weights & Biases adapter (reference utils/callbacks/wb.py). Imports
+    lazily; raises ImportError at construction when wandb is absent (the
+    registry builder degrades it to a no-op)."""
+
+    def __init__(self, save_dir: str, project: str = "yolo-master-tpu", run=None):
+        import wandb
+
+        self._wandb = wandb
+        self.run = run or wandb.init(project=project, dir=save_dir)
+
+    def on_fit_epoch_end(self, epoch: int, metrics: Dict[str, float]):
+        self.run.log({k: v for k, v in metrics.items() if isinstance(v, (int, float))}, step=epoch)
+
+    def on_train_end(self, *a, **k):
+        self.run.finish()
+
+
+class MLflowLogger:
+    """MLflow adapter (reference utils/callbacks/mlflow.py)."""
+
+    def __init__(self, save_dir: str, experiment: str = "yolo-master-tpu"):
+        import mlflow
+
+        self._mlflow = mlflow
+        mlflow.set_experiment(experiment)
+        self.active = mlflow.start_run()
+
+    def on_fit_epoch_end(self, epoch: int, metrics: Dict[str, float]):
+        self._mlflow.log_metrics(
+            {k.replace("(", "").replace(")", ""): float(v) for k, v in metrics.items() if isinstance(v, (int, float))},
+            step=epoch,
+        )
+
+    def on_train_end(self, *a, **k):
+        self._mlflow.end_run()
+
+
+class ConsoleLogger:
+    """Structured stream capture for platform log shipping (reference
+    utils/logger.py ConsoleLogger): mirrors per-epoch metrics as one JSON line
+    to a sink callable (default: LOGGER.info)."""
+
+    def __init__(self, sink: Callable[[str], None] | None = None):
+        import json
+
+        from . import LOGGER
+
+        self._json = json
+        self.sink = sink or LOGGER.info
+
+    def on_fit_epoch_end(self, epoch: int, metrics: Dict[str, float]):
+        row = {"epoch": epoch, **{k: round(float(v), 5) for k, v in metrics.items() if isinstance(v, (int, float))}}
+        self.sink(self._json.dumps(row))
+
+
+INTEGRATIONS = {"tensorboard": TensorBoardLogger, "wandb": WandbLogger, "mlflow": MLflowLogger, "console": ConsoleLogger}
+
+
+def default_callbacks(save_dir: str, tensorboard: bool = False, integrations: tuple = ()) -> CallbackRegistry:
+    """CSV always; named integrations attach when their package imports,
+    no-op otherwise (reference callbacks/__init__.py add_integration_callbacks)."""
     reg = CallbackRegistry()
     csv_logger = CSVLogger(save_dir)
     reg.add("on_fit_epoch_end", csv_logger.on_fit_epoch_end)
-    if tensorboard:
+    names = tuple(integrations) + (("tensorboard",) if tensorboard else ())
+    for name in names:
         try:
-            tb = TensorBoardLogger(save_dir)
-            reg.add("on_fit_epoch_end", tb.on_fit_epoch_end)
-        except Exception:  # tensorflow absent -> no-op, like the reference
+            hook = INTEGRATIONS[name](save_dir) if name != "console" else ConsoleLogger()
+            reg.add("on_fit_epoch_end", hook.on_fit_epoch_end)
+            if hasattr(hook, "on_train_end"):
+                reg.add("on_train_end", hook.on_train_end)
+        except Exception:  # package absent -> no-op, like the reference
             pass
     return reg
