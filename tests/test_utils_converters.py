@@ -126,3 +126,25 @@ def test_profile_timer():
         with p:
             time.sleep(0.01)
     assert p.n == 3 and 8 < p.avg_ms < 100
+
+
+def test_trainer_autobatch_batch_minus_one(tmp_path):
+    """batch=-1 resolves via the dry memory_analysis() search over the real
+    compiled train step (reference trainer batch=-1 -> AutoBatch)."""
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.engine.trainer import DetectionTrainer
+    from yolo_master_tpu.nn.tasks import DetectionModel
+
+    cfg = {"nc": 1, "backbone": [[-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [16, 3, 2]]],
+           "head": [[[1], 1, "Detect", ["nc"]]]}
+
+    class Stub:
+        pass
+
+    yolo = Stub()
+    yolo.model = DetectionModel(cfg)
+    yolo.params = yolo.model.init_params(0)
+    b = DetectionTrainer._autobatch(yolo, imgsz=32, max_gt=4, hyp={}, mesh=None,
+                                    compute_dtype=jnp.float32, amp=False)
+    assert b >= 1 and (b & (b - 1)) == 0, f"expected a power-of-two batch, got {b}"

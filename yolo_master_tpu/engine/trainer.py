@@ -87,6 +87,9 @@ class DetectionTrainer:
         self.model = yolo.model
         self.data = data
         self.epochs = epochs
+        if batch == -1:  # reference batch=-1 -> AutoBatch (utils/autobatch.py:15)
+            batch = self._autobatch(yolo, imgsz, max_gt, hyp or {}, mesh, compute_dtype, amp)
+            LOGGER.info(f"autobatch selected batch={batch}")
         self.batch = batch
         self.imgsz = imgsz
         self.max_gt = max_gt
@@ -187,6 +190,39 @@ class DetectionTrainer:
                 self.start_epoch = int(self.state.step) // max(nb_opt, 1)
                 LOGGER.info(f"resumed from {ckpt} at epoch {self.start_epoch}")
         self.validator = self._build_validator() if val else None
+
+    @staticmethod
+    def _autobatch(yolo, imgsz, max_gt, hyp, mesh, compute_dtype, amp) -> int:
+        """Pick the largest power-of-two batch whose compiled TRAIN step fits
+        in 80% of HBM — a dry memory_analysis() binary search, no trial OOMs
+        (reference autobatch.py:15 runs real forwards and fits a line)."""
+        import optax
+
+        from ..utils.autobatch import autobatch
+
+        cdt = compute_dtype or (jnp.bfloat16 if amp else jnp.float32)
+        tx = optax.sgd(0.01)
+        opt_state = tx.init(yolo.params)
+
+        def build_step(b):
+            return make_train_step(yolo.model, tx=tx, mesh=mesh, imgsz=imgsz, batch_per_step=b,
+                                   max_gt=max_gt, hyp=hyp, compute_dtype=cdt)
+
+        def example_args(b):
+            from ..nn.mixture_loss import init_aux_ema
+
+            state = TrainState(params=yolo.params, opt_state=opt_state,
+                               ema_params=yolo.params, step=jnp.zeros((), jnp.int32),
+                               ema_updates=jnp.zeros((), jnp.float32), aux_ema=init_aux_ema())
+            batch = {
+                "images": jax.ShapeDtypeStruct((b, imgsz, imgsz, 3), jnp.float32),
+                "boxes": jax.ShapeDtypeStruct((b, max_gt, 4), jnp.float32),
+                "classes": jax.ShapeDtypeStruct((b, max_gt), jnp.int32),
+                "mask": jax.ShapeDtypeStruct((b, max_gt), jnp.bool_),
+            }
+            return (state, batch)
+
+        return autobatch(build_step, example_args)
 
     def _build_dataset(self, data, split: str):
         return self.dataset_cls(

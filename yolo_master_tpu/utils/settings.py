@@ -12,6 +12,7 @@ from . import LOGGER
 
 DEFAULTS: Dict[str, Any] = {
     "settings_version": "1.0",
+    "api_key": "",          # HUB credential (hub.py HUBClient.login)
     "datasets_dir": str(Path.home() / "datasets"),
     "weights_dir": str(Path.home() / "weights"),
     "runs_dir": "runs",
