@@ -196,3 +196,33 @@ def test_train_step_composes_families():
     state, metrics = step(state, batch)
     assert "aux_moe" in metrics and jnp.isfinite(metrics["loss"])
     assert state.aux_ema is not None and float(state.aux_ema[0]) != 1.0
+
+
+def test_new_router_family_contract():
+    """UltraEfficient/EfficientSpatial/AdvancedRouting (reference routers.py:
+    60,251,355): weights sum to 1, exactly top-k nonzero, legacy channel
+    adaptation works, train noise only perturbs in training mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.moe.routers import (
+        AdvancedRoutingLayer, EfficientSpatialRouter, UltraEfficientRouter,
+    )
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 16))
+    for cls, kw in ((UltraEfficientRouter, {"top_k": 2}), (EfficientSpatialRouter, {"top_k": 2})):
+        r = cls(16, 8, **kw).finalize("r")
+        p = r.init(jax.random.PRNGKey(1))
+        w, logits = r(p, x, Context(training=False))
+        assert w.shape == (2, 8) and logits.shape == (2, 8)
+        assert jnp.allclose(w.sum(-1), 1.0, atol=1e-5)
+        assert int((w[0] > 0).sum()) == 2, f"{cls.__name__} must route top-2"
+        w_tr, _ = r(p, x, Context(training=True, step=3))
+        assert not jnp.allclose(w, w_tr), "train noise must perturb routing"
+
+    r = AdvancedRoutingLayer(64, 3).finalize("r")
+    p = r.init(jax.random.PRNGKey(2))
+    w, _ = r(p, x, Context(training=False))  # 16 channels -> zero-pad to 64
+    assert w.shape == (2, 3) and jnp.allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert int((w[0] > 0).sum()) == 3, "dense (no top_k) keeps all experts"
