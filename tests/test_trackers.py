@@ -168,3 +168,25 @@ def test_kalman_xywh_nsa_confidence():
     m_lo, _ = kf.update(mean, cov, meas, confidence=0.0)
     m_hi, _ = kf.update(mean, cov, meas, confidence=0.9)
     assert np.linalg.norm(m_hi[:4] - meas) < np.linalg.norm(m_lo[:4] - meas)
+
+
+def test_predictor_loose_nms_recovered_bucket():
+    """second_nms_iou surfaces tight-NMS-dropped detections as Results.dets_del
+    (TrackTrack's recovered bucket, reference track_tracker.py:150) and
+    .track(tracker='tracktrack') consumes them."""
+    from yolo_master_tpu.models.yolo import YOLO
+
+    img = (np.random.default_rng(0).random((96, 96, 3)) * 255).astype(np.uint8)
+    y = YOLO({"nc": 2, "backbone": [[-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [16, 3, 2]]],
+              "head": [[[1], 1, "Detect", ["nc"]]]})
+    r = y.predict(img, imgsz=64, conf=1e-5, iou=0.3, max_det=16, max_nms=64, second_nms_iou=0.95)[0]
+    assert hasattr(r, "dets_del")
+    db, ds, dc = r.dets_del
+    assert db.shape[1] == 4 and len(db) == len(ds) == len(dc)
+    if len(r.boxes) and len(db):
+        from yolo_master_tpu.utils.metrics import box_iou_np
+
+        assert box_iou_np(db, r.boxes.xyxy).max() < 0.97, "recovered dets must be novel vs tight dets"
+
+    out = y.track([img, img], tracker="tracktrack", imgsz=64, conf=1e-5, max_det=16, max_nms=64)
+    assert len(out) == 2 and hasattr(out[0], "tracks")

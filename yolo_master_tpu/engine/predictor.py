@@ -73,6 +73,7 @@ class DetectionPredictor:
         compute_dtype=jnp.float32,
         batch: int = 1,
         backend=None,
+        second_nms_iou: Optional[float] = None,
     ):
         self.backend = backend  # AutoBackend for exported artifacts
         if backend is not None:
@@ -89,6 +90,10 @@ class DetectionPredictor:
         self.agnostic = agnostic_nms
         self.compute_dtype = compute_dtype
         self.batch = batch
+        # when set, a second NMS at this (looser) IoU runs in the same jit and
+        # detections the tight pass dropped surface as Results.dets_del —
+        # TrackTrack's recovered bucket (reference track_tracker.py:26,150)
+        self.second_nms_iou = second_nms_iou
         self.class_mask = None
         if classes is not None:
             m = np.zeros((nc,), np.float32)
@@ -124,17 +129,24 @@ class DetectionPredictor:
                 # logits fast path: candidate selection pre-sigmoid (monotonic)
                 decoded = (self.model.head.decode(preds, raw_scores=True)
                            if supports_raw else self.model.head.decode(preds))
-                return non_max_suppression(
-                    decoded,
-                    nc=self.model.nc,
-                    conf_thres=self.conf,
-                    iou_thres=self.iou,
-                    max_det=self.max_det,
-                    max_nms=self.max_nms,
-                    agnostic=self.agnostic,
-                    class_mask=self.class_mask,
-                    scores_are_logits=supports_raw,
-                )
+
+                def nms(iou):
+                    return non_max_suppression(
+                        decoded,
+                        nc=self.model.nc,
+                        conf_thres=self.conf,
+                        iou_thres=iou,
+                        max_det=self.max_det,
+                        max_nms=self.max_nms,
+                        agnostic=self.agnostic,
+                        class_mask=self.class_mask,
+                        scores_are_logits=supports_raw,
+                    )
+
+                det = nms(self.iou)
+                if self.second_nms_iou is not None:
+                    det["loose"] = nms(self.second_nms_iou)
+                return det
 
             self._jitted[bs] = run
         return self._jitted[bs]
@@ -220,12 +232,30 @@ class DetectionPredictor:
 
     def _build_result(self, path, orig_img, meta, det) -> Results:
         orig_shape, ratio, pad = meta
+
+        def unletterbox(boxes):
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pad[0]) / ratio[0]
+            boxes[:, [1, 3]] = (boxes[:, [1, 3]] - pad[1]) / ratio[1]
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, orig_shape[1])
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, orig_shape[0])
+            return boxes
+
+        loose = det.pop("loose", None)
         n = int(det["valid"].sum())
-        boxes = det["boxes"][:n].copy()
-        # undo letterbox: subtract pad, divide ratio, clip
-        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pad[0]) / ratio[0]
-        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - pad[1]) / ratio[1]
-        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, orig_shape[1])
-        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, orig_shape[0])
+        boxes = unletterbox(det["boxes"][:n])
         data = np.concatenate([boxes, det["scores"][:n, None], det["classes"][:n, None]], -1)
-        return Results(orig_img, path=path, names=self.names, boxes=data)
+        r = Results(orig_img, path=path, names=self.names, boxes=data)
+        if loose is not None:
+            # recovered bucket: loose-NMS survivors the tight pass dropped
+            # (max IoU vs every tight det < dedup 0.97 — track_tracker.py:171)
+            m = int(loose["valid"].sum())
+            lb = unletterbox(loose["boxes"][:m])
+            if m and n:
+                from ..utils.metrics import box_iou_np
+
+                new = box_iou_np(lb, boxes).max(axis=1) < 0.97
+            else:
+                new = np.ones(m, bool)
+            r.dets_del = (lb[new], loose["scores"][:m][new], loose["classes"][:m][new])
+        return r

@@ -112,7 +112,8 @@ class YOLO:
 
     # -- inference ---------------------------------------------------------------
     def predict(self, source, stream: bool = False, vid_stride: int = 1, **kwargs):
-        pred_keys = {"imgsz", "conf", "iou", "max_det", "max_nms", "agnostic_nms", "classes", "batch", "compute_dtype"}
+        pred_keys = {"imgsz", "conf", "iou", "max_det", "max_nms", "agnostic_nms", "classes", "batch",
+                     "compute_dtype", "second_nms_iou"}
         cfg = {k: v for k, v in kwargs.items() if k in pred_keys}
         if self._predictor is None or cfg:
             from ..engine.predictors_task import TASK_PREDICTORS
@@ -140,7 +141,11 @@ class YOLO:
                 track_buffer=kwargs.pop("track_buffer", 30),
                 match_thresh=kwargs.pop("match_thresh", 0.8),
             )
-        takes_img = "img" in self._tracker.update.__code__.co_varnames
+        upd_vars = self._tracker.update.__code__.co_varnames
+        takes_img = "img" in upd_vars
+        if "dets_del" in upd_vars:  # TrackTrack's loose-NMS recovered bucket:
+            # run a second NMS at the loose IoU inside the same jit
+            kwargs.setdefault("second_nms_iou", 0.95)
 
         results_iter = self.predict(source, stream=True, vid_stride=vid_stride, **kwargs)
 
@@ -148,12 +153,15 @@ class YOLO:
             from ..engine.results import Boxes
 
             for r in results_iter:
+                extra = {}
+                if takes_img:
+                    extra["img"] = r.orig_img
+                if "dets_del" in upd_vars and getattr(r, "dets_del", None) is not None:
+                    extra["dets_del"] = r.dets_del
                 if r.boxes is None or len(r.boxes) == 0:
                     r.tracks = np.zeros((0, 7), np.float32)
-                elif takes_img:
-                    r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, img=r.orig_img)
                 else:
-                    r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls)
+                    r.tracks = self._tracker.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, **extra)
                 if len(r.tracks):
                     # adopt the tracker's output as the boxes (reference
                     # trackers/track.py on_predict_postprocess_end:
