@@ -130,3 +130,70 @@ def test_routed_molora_per_sample():
     xd = jax.random.normal(jax.random.PRNGKey(3), (4, 8))
     d2, pr2 = lin.delta(pl, xd)
     assert d2.shape == (4, 16) and pr2.shape == (4, 3)
+
+
+def _synth_ds(tmp_path):
+    import cv2
+
+    root = tmp_path / "ds"
+    for split, n in (("train", 8), ("val", 4)):
+        (root / f"images/{split}").mkdir(parents=True)
+        (root / f"labels/{split}").mkdir(parents=True)
+        for i in range(n):
+            img = np.full((64, 64, 3), 120, np.uint8)
+            cv2.rectangle(img, (14, 14), (44, 44), (0, 0, 220), -1)
+            cv2.imwrite(str(root / f"images/{split}/{i:03d}.jpg"), img)
+            (root / f"labels/{split}/{i:03d}.txt").write_text("0 0.453 0.453 0.469 0.469")
+    (root / "data.yaml").write_text(f"path: {root}\ntrain: images/train\nval: images/val\nnames:\n  0: red\n")
+    return str(root / "data.yaml")
+
+
+@pytest.mark.slow
+def test_adapter_controller_trains_lora_only(tmp_path):
+    """peft={'lora_r': 4} trains on {'base','adapters'}: base stays bit-frozen,
+    adapters move, train end folds to plain deployable weights + adapters.npz
+    (reference engine/extensions/adapters.py AdapterRuntimeController)."""
+    from yolo_master_tpu.engine.trainer import DetectionTrainer
+
+    cfg = {"nc": 1, "backbone": [[-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [16, 3, 2]],
+                                 [-1, 1, "Conv", [32, 3, 2]]],
+           "head": [[[2], 1, "Detect", ["nc"]]]}
+
+    class Stub:
+        pass
+
+    yolo = Stub()
+    yolo.model = DetectionModel(cfg)
+    yolo.params = yolo.model.init_params(0)
+    base_before = jax.tree_util.tree_map(np.asarray, yolo.params)
+
+    tr = DetectionTrainer(yolo, data=_synth_ds(tmp_path), epochs=2, batch=8, imgsz=64,
+                          max_gt=4, val=False, warmup_epochs=0, hyp={"mosaic": 0.0},
+                          save_dir=str(tmp_path / "run"), peft={"lora_r": 4})
+    assert tr.adapter_controller is not None and "adapters" in tr.state.params
+    tr.train()
+
+    # base trainables frozen bit-exact (BN running stats legitimately update,
+    # matching torch buffer behavior under frozen requires_grad)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tr.state.params["base"]),
+        jax.tree_util.tree_leaves_with_path(base_before),
+    ):
+        if any(str(getattr(k, "key", k)) in ("mean", "var") for k in pa):
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+    # adapters moved (B starts at zero)
+    moved = any(float(jnp.abs(ad["B"]).max()) > 0 for ad in tr.state.params["adapters"].values())
+    assert moved, "no adapter learning happened"
+    assert (tmp_path / "run" / "adapters.npz").exists()
+    # folded weights are a plain tree consumable by the unwrapped model
+    assert "adapters" not in yolo.params
+    out = yolo.model.forward_predict(yolo.params, jnp.zeros((1, 64, 64, 3)), Context(training=False))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adapter_controller_rejects_lora_plus_molora():
+    from yolo_master_tpu.peft.controller import AdapterController
+
+    with pytest.raises(ValueError, match="cannot be enabled"):
+        AdapterController(lora_r=4, molora_num_experts=4)

@@ -82,9 +82,22 @@ class DetectionTrainer:
         tensorboard: bool = False,
         close_mosaic: int = 10,
         moe_schedule: Optional[str] = "gini",
+        peft: Optional[Dict] = None,
     ):
         self.yolo = yolo
         self.model = yolo.model
+        # Adapter lifecycle (reference engine/extensions/adapters.py:68):
+        # train on {"base": frozen, "adapters": trainable}, merged in-graph
+        self.adapter_controller = None
+        start_params = yolo.params
+        if peft:
+            from ..peft.controller import AdapterController
+
+            self.adapter_controller = AdapterController(**peft)
+            if self.adapter_controller.enabled:
+                self.model, start_params = self.adapter_controller.attach(self.model, yolo.params)
+            else:
+                self.adapter_controller = None
         self.data = data
         self.epochs = epochs
         if batch == -1:  # reference batch=-1 -> AutoBatch (utils/autobatch.py:15)
@@ -143,7 +156,7 @@ class DetectionTrainer:
             return warmup_momentum + t * (opt_momentum - warmup_momentum)
 
         self.lr_schedule = lr_schedule
-        params_template = yolo.params
+        params_template = start_params
         self.tx = build_optimizer(
             opt_name,
             lr_schedule,
@@ -153,12 +166,14 @@ class DetectionTrainer:
             momentum_fn=momentum_schedule if (warmup_steps and opt_name.lower() == "sgd") else None,
             bias_lr_fn=bias_lr_schedule if warmup_steps else None,
         )
+        if self.adapter_controller is not None:
+            self.tx = self.adapter_controller.wrap_optimizer(self.tx)
         from ..nn.mixture_loss import init_aux_ema
 
         self.state = TrainState(
-            params=yolo.params,
-            opt_state=self.tx.init(yolo.params),
-            ema_params=jax.tree_util.tree_map(jnp.copy, yolo.params),
+            params=start_params,
+            opt_state=self.tx.init(start_params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, start_params),
             step=jnp.zeros((), jnp.int32),
             ema_updates=jnp.zeros((), jnp.float32),
             aux_ema=init_aux_ema(),
@@ -314,6 +329,11 @@ class DetectionTrainer:
             render_dashboard(self.routing_history)  # routing_dashboard.html (reference moe/viz.py)
         self.callbacks.fire("on_train_end")
         save_params_npz(self.state.ema_params, self.save_dir / "last.npz")
-        self.yolo.params = self.state.ema_params
+        if self.adapter_controller is not None:
+            # fold adapters into plain deployable weights; adapters.npz saved
+            # separately (reference strip/publish flow, lora/io.py)
+            self.yolo.params = self.adapter_controller.fold(self.state.ema_params, str(self.save_dir))
+        else:
+            self.yolo.params = self.state.ema_params
         metrics_out["best_fitness"] = best_fitness
         return metrics_out
