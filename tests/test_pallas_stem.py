@@ -88,3 +88,34 @@ def test_pallas_stem_fuse_requires_bn_fold():
     m = DetectionModel("yolo-master-n")
     with pytest.raises(ValueError, match="fuse_bn_params"):
         pallas_stem_fuse(m, m.init_params(0), 64)
+
+
+def test_blocked_c3k2_parity():
+    """Space-to-depth(2) blocked C3k2 (nn/blocked.py) is exact vs the plain
+    block (the HBM lane-padding fix; 2.3x measured in isolation on v5e)."""
+    from yolo_master_tpu.nn.blocked import BlockedC3k2, block_weight, from_blocked, to_blocked
+    from yolo_master_tpu.nn.layers import C3k2
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.utils.fuse import fuse_bn_params
+
+    m = C3k2(32, 64, n=2, c3k=False, e=0.25).finalize("l2")
+    p = fuse_bn_params({"layers": {"0": m.init(jax.random.PRNGKey(0))}})["layers"]["0"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 32))
+    ref = m(p, x, Context(training=False))
+    bm = BlockedC3k2(m)
+    out = bm(BlockedC3k2.remap_params(p), x, Context(training=False))
+    assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    # relayout round-trip is the identity
+    np.testing.assert_array_equal(np.asarray(from_blocked(to_blocked(x))), np.asarray(x))
+    # k1 blocked weight is block-diagonal per phase
+    w = np.random.default_rng(0).standard_normal((1, 1, 4, 8)).astype(np.float32)
+    wb = block_weight(w)
+    assert wb.shape == (1, 1, 16, 32)
+    for pi in range(4):
+        for po in range(4):
+            sub = wb[0, 0][pi::4][:, po::4]
+            if pi == po:
+                np.testing.assert_allclose(sub, w[0, 0])
+            else:
+                assert np.abs(sub).max() == 0

@@ -103,3 +103,37 @@ def pallas_stem_fuse(model, params, imgsz: int, width: int = 0):
     params["layers"]["1"] = {}
     model.input_blob = True
     return params
+
+
+def block_c3k2(model, params, layers=None, min_pad_ratio: float = 2.0):
+    """Rewrite small-channel C3k2 blocks to space-to-depth(2) BLOCKED
+    execution (nn/blocked.py — the HBM-padding fix; exact).
+
+    Requires BN-folded params. ``layers``: spec indices to convert (default:
+    every plain-Bottleneck C3k2 whose input channels pad the 128-lane tile by
+    >= min_pad_ratio). Mutates model.specs; returns new params."""
+    from ..nn.blocked import BlockedC3k2
+    from ..nn.layers import Bottleneck, C3k2
+    from ..nn.module import dict_copy
+
+    params = dict_copy(params)
+    chosen = []
+    for spec in model.specs:
+        m = spec.module
+        if type(m) is not C3k2 or not all(isinstance(b, Bottleneck) for b in m.m):
+            continue
+        cin = m.cv1.c1
+        if layers is not None:
+            if spec.i in layers:
+                chosen.append(spec)
+        elif 128 / max(cin % 128 or 128, 1) >= min_pad_ratio and cin < 128:
+            chosen.append(spec)
+    for spec in chosen:
+        folded = params["layers"][str(spec.i)]
+        if "b" not in folded["cv1"]["conv"]:
+            raise ValueError("run fuse_bn_params before block_c3k2")
+        blocked = BlockedC3k2(spec.module)
+        blocked.finalize(spec.module.path)
+        params["layers"][str(spec.i)] = BlockedC3k2.remap_params(folded)
+        spec.module = blocked
+    return params
