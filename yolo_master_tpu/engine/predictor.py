@@ -115,6 +115,11 @@ class DetectionPredictor:
             @jax.jit
             def run(params, x):
                 ctx = Context(training=False)
+                if x.dtype == jnp.uint8:
+                    # raw uint8 transfer (4x smaller over PCIe/relay); the /255
+                    # is folded into the stem weights (pallas_stem_fuse
+                    # uint8_input=True), so a plain cast suffices here
+                    x = x.astype(self.compute_dtype)
                 preds = self.model.forward_train(params, x, ctx)
                 if end2end:
                     decoded = self.model.head.decode(preds)
@@ -159,20 +164,26 @@ class DetectionPredictor:
         set ``input_blob`` and consume the space-to-depth(4) host blob instead
         — the same host-side blob contract as the reference's TensorRT NCHW
         input step (reference data/augment.py letterbox + predictor blob)."""
+        from ..data import native
+
+        blob_path = self.model is not None and getattr(self.model, "input_blob", False)
+        blob_u8 = blob_path and getattr(self.model, "input_blob_uint8", False)
         processed, meta = [], []
         for im in images:
             lb, ratio, pad = letterbox(im, self.imgsz)
-            processed.append(lb[..., ::-1])  # BGR -> RGB
+            # fused native normalize/blob straight from letterboxed BGR uint8
+            # (deploy/cpp ymt_preprocess: 7.1 -> 2.5 ms/frame measured); numpy
+            # fallback inside data/native.py when the library isn't built.
+            # uint8 blobs additionally shrink host->device transfer 4x (the
+            # /255 is pre-folded into the stem weights).
+            if blob_u8:
+                processed.append(native.s2d4_blob_u8_from_bgr(lb))
+            elif blob_path:
+                processed.append(native.s2d4_blob_from_bgr(lb))
+            else:
+                processed.append(native.nhwc_normalize(lb))
             meta.append((im.shape[:2], ratio, pad))
-        x = np.stack(processed).astype(np.float32) / 255.0
-        return x, meta
-
-    def _to_device_input(self, x: np.ndarray) -> np.ndarray:
-        if self.model is not None and getattr(self.model, "input_blob", False):
-            from ..ops.pallas_stem import s2d4_blob_np
-
-            return s2d4_blob_np(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
-        return x
+        return np.stack(processed), meta
 
     def __call__(self, source, stream: bool = False, vid_stride: int = 1, stream_frames: Optional[int] = None):
         """Run inference over any source (images/dirs/globs/arrays/video files/
@@ -213,7 +224,8 @@ class DetectionPredictor:
         pad_to = min(self.batch, 1 << (bs - 1).bit_length())
         if pad_to != bs:
             x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
-        det = self._get_fn(pad_to)(self.params, jnp.asarray(self._to_device_input(x), self.compute_dtype))
+        xj = jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, self.compute_dtype)
+        det = self._get_fn(pad_to)(self.params, xj)
         det = jax.tree_util.tree_map(np.asarray, det)
         t2 = time.perf_counter()
         results = []

@@ -115,11 +115,14 @@ class YOLO:
         pred_keys = {"imgsz", "conf", "iou", "max_det", "max_nms", "agnostic_nms", "classes", "batch",
                      "compute_dtype", "second_nms_iou"}
         cfg = {k: v for k, v in kwargs.items() if k in pred_keys}
-        if self._predictor is None or cfg:
+        # rebuild (and recompile) only when the predict cfg actually changed —
+        # repeated predict(conf=...) calls with identical args reuse the jit
+        if self._predictor is None or (cfg and cfg != getattr(self, "_predict_cfg", None)):
             from ..engine.predictors_task import TASK_PREDICTORS
 
             pred_cls = TASK_PREDICTORS.get(self.task, DetectionPredictor)
             self._predictor = pred_cls(self.model, self.params, names=self.names, backend=self.backend, **cfg)
+            self._predict_cfg = cfg or getattr(self, "_predict_cfg", None)
         self._predictor.params = self.params
         return self._predictor(source, stream=stream, vid_stride=vid_stride)
 
@@ -291,7 +294,9 @@ class YOLO:
             return self  # exported-artifact backend: already frozen
         self.params = fuse_bn_params(self.params)
         if pallas_stem:
-            self.params = pallas_stem_fuse(self.model, self.params, imgsz)
+            # uint8_input: predictor ships raw uint8 blobs (4x smaller
+            # transfer), /255 pre-folded into the stem weights
+            self.params = pallas_stem_fuse(self.model, self.params, imgsz, uint8_input=True)
         elif s2d:
             self.params = s2d_stem(self.model, self.params)
         self._predictor = None  # graph changed: rebuild

@@ -74,14 +74,19 @@ def s2d_stem(model, params, max_layers: int = 2):
     return params
 
 
-def pallas_stem_fuse(model, params, imgsz: int, width: int = 0):
+def pallas_stem_fuse(model, params, imgsz: int, width: int = 0, uint8_input: bool = False):
     """Replace the two leading k3/s2 stem Convs with the fused Pallas stem
     kernel (nn/layers.py PallasStem over ops/pallas_stem.py — 3.3x measured).
 
     Requires BN-folded params (fuse_bn_params first: the kernel consumes
     conv biases). Mutates model.specs in place, sets ``model.input_blob``,
     and returns a NEW params tree whose stem leaves are {w0,b0,w1,b1}.
-    Callers must then feed s2d4 blobs (ops.pallas_stem.s2d4_blob[_np])."""
+    Callers must then feed s2d4 blobs (ops.pallas_stem.s2d4_blob[_np]).
+
+    ``uint8_input=True`` folds the /255 normalization into the conv0 weights
+    so callers can ship RAW uint8 blobs (data/native.py s2d4_blob_u8_from_bgr)
+    — 4x smaller host->device transfer; the device casts to compute dtype and
+    the scaled weights normalize for free."""
     from ..nn.layers import Conv, PallasStem, Passthrough
     from ..nn.module import dict_copy
 
@@ -99,7 +104,9 @@ def pallas_stem_fuse(model, params, imgsz: int, width: int = 0):
     stem.finalize(s0.module.path)
     s0.module = stem
     s1.module = Passthrough()
-    params["layers"]["0"] = {"w0": l0["w"], "b0": l0["b"], "w1": l1["w"], "b1": l1["b"]}
+    w0 = l0["w"] / 255.0 if uint8_input else l0["w"]
+    params["layers"]["0"] = {"w0": w0, "b0": l0["b"], "w1": l1["w"], "b1": l1["b"]}
+    model.input_blob_uint8 = uint8_input
     params["layers"]["1"] = {}
     model.input_blob = True
     return params
