@@ -37,3 +37,22 @@ def test_gathered_expert_matmul_interpret():
     out_p = gathered_expert_matmul(x, w, idx, wts, tile_n=64, interpret=True)
     out_d = dense_expert_matmul(x, w, idx, wts)
     assert float(jnp.abs(out_p - out_d).max()) < 1e-4
+
+
+def test_pallas_c3k2_variants_interpret():
+    """Whole-block C3k2 kernels (ops/pallas_c3k2.py): both the NHWC and the
+    channels-first variants must match the plain block exactly."""
+    from yolo_master_tpu.nn.layers import C3k2
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.ops.pallas_c3k2 import pallas_c3k2, pallas_c3k2_cf, prepare_c3k2_weights
+    from yolo_master_tpu.utils.fuse import fuse_bn_params
+
+    for n in (1, 2):
+        m = C3k2(32, 64, n=n, c3k=False, e=0.25).finalize("l2")
+        p = fuse_bn_params({"layers": {"0": m.init(jax.random.PRNGKey(0))}})["layers"]["0"]
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 20, 32))
+        ref = m(p, x, Context(training=False))
+        w = prepare_c3k2_weights(p, c=m.c, n=n)
+        for fn in (pallas_c3k2, pallas_c3k2_cf):
+            out = fn(x, w, c=m.c, n=n, interpret=True)
+            assert float(jnp.abs(out - ref).max()) < 1e-5, fn.__name__
