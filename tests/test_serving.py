@@ -49,3 +49,32 @@ def test_server_client_infer():
         client.close()
     finally:
         server.stop()
+
+
+def test_autobackend_grpc_scheme_predict():
+    """AutoBackend('grpc://host:port') routes predict through a remote
+    InferenceServer — the reference's TritonRemoteModel / triton:// model
+    scheme (utils/triton.py:11, nn/autobackend.py)."""
+    pytest.importorskip("grpc")
+    from yolo_master_tpu.engine.predictor import DetectionPredictor
+    from yolo_master_tpu.nn.autobackend import AutoBackend
+    from yolo_master_tpu.nn.tasks import DetectionModel
+
+    cfg = {"nc": 2, "backbone": [[-1, 1, "Conv", [16, 3, 2]], [-1, 1, "Conv", [32, 3, 2]]],
+           "head": [[[1], 1, "Detect", ["nc"]]]}
+    model = DetectionModel(cfg)
+    pred = DetectionPredictor(model, model.init_params(0), imgsz=64, conf=1e-6, max_det=8, max_nms=64)
+    server = InferenceServer(pred, names={0: "a", 1: "b"})
+    port = server.start(port=0)
+    try:
+        be = AutoBackend(f"grpc://127.0.0.1:{port}")
+        assert be.kind == "grpc" and be.nc == 2 and be.nms_embedded
+        remote_pred = DetectionPredictor(backend=be, imgsz=64, conf=1e-6, max_det=8, max_nms=64)
+        img = (np.random.default_rng(0).random((96, 80, 3)) * 255).astype(np.uint8)
+        r = remote_pred(img)[0]
+        # parity vs the local path on the same image
+        r_local = pred(img)[0]
+        assert len(r.boxes) == len(r_local.boxes)
+        np.testing.assert_allclose(r.boxes.xyxy, r_local.boxes.xyxy, atol=0.1)
+    finally:
+        server.stop()

@@ -148,3 +148,28 @@ def test_trainer_autobatch_batch_minus_one(tmp_path):
     b = DetectionTrainer._autobatch(yolo, imgsz=32, max_gt=4, hyp={}, mesh=None,
                                     compute_dtype=jnp.float32, amp=False)
     assert b >= 1 and (b & (b - 1)) == 0, f"expected a power-of-two batch, got {b}"
+
+
+def test_patches_unicode_io(tmp_path):
+    """imread/imwrite must survive non-ASCII paths (reference utils/patches.py)."""
+    import numpy as np
+
+    from yolo_master_tpu.utils.patches import imread, imwrite, save_with_retry
+
+    p = tmp_path / "图像_ünïcode.png"
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+    assert imwrite(str(p), img)
+    back = imread(str(p))
+    np.testing.assert_array_equal(back, img)
+    assert imread(str(tmp_path / "missing.png")) is None
+
+    calls = []
+
+    def flaky(path):
+        calls.append(path)
+        if len(calls) < 3:
+            raise OSError("transient")
+        (tmp_path / "out.txt").write_text("ok")
+
+    save_with_retry(flaky, "x", retries=3, delay=0.0)
+    assert len(calls) == 3 and (tmp_path / "out.txt").exists()

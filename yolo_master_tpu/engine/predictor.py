@@ -29,9 +29,9 @@ IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 
 
 def load_image(path: str) -> np.ndarray:
-    import cv2
+    from ..utils.patches import imread
 
-    im = cv2.imread(str(path))  # BGR HWC
+    im = imread(str(path))  # BGR HWC, unicode-safe (utils/patches.py)
     if im is None:
         raise FileNotFoundError(f"image not found or unreadable: {path}")
     return im

@@ -376,7 +376,9 @@ class Results:
             d = Path(save_dir) / self.names.get(c, str(c))
             d.mkdir(parents=True, exist_ok=True)
             out = str(d / f"{stem}{i}{suffix}")
-            cv2.imwrite(out, crop)
+            from ..utils.patches import imwrite
+
+            imwrite(out, crop)
             saved.append(out)
         return saved
 
@@ -437,7 +439,9 @@ class Results:
         import cv2
 
         Path(filename).parent.mkdir(parents=True, exist_ok=True)
-        cv2.imwrite(str(filename), self.plot())
+        from ..utils.patches import imwrite
+
+        imwrite(str(filename), self.plot())
         return str(filename)
 
 

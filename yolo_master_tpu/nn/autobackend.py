@@ -42,6 +42,20 @@ class AutoBackend:
             self.imgsz = None
             return
 
+        if str(weights).startswith(("grpc://", "triton://")):
+            # remote inference server (serving.py InferenceServer — the
+            # reference's TritonRemoteModel scheme, utils/triton.py:11)
+            from ..serving import InferenceClient
+
+            self.kind = "grpc"
+            self._client = InferenceClient(str(weights).split("://", 1)[1])
+            md = self._client.metadata()
+            self.meta = md
+            self.nc = int(md.get("nc", nc or 80))
+            self.imgsz = md.get("imgsz")
+            self.nms_embedded = True  # the server graph runs its own NMS
+            return
+
         path = Path(str(weights))
         meta = self._read_meta(path)
         self.meta = meta
@@ -159,6 +173,13 @@ class AutoBackend:
         """Full detection: backend forward + (host-side jitted) NMS when the
         graph didn't embed it. Returns the NMS dict contract
         (boxes/scores/classes/valid)."""
+        if self.kind == "grpc":
+            # the remote graph applies its own thresholds (server-side cfg);
+            # re-gate conf locally so the caller's intent still applies
+            det = self._client.infer(np.asarray(x, np.float32))
+            valid = det["valid"].astype(bool) & (det["scores"] > conf)
+            return {"boxes": det["boxes"], "scores": det["scores"] * valid,
+                    "classes": np.where(valid, det["classes"], -1.0), "valid": valid}
         out = self(x)
         if self.nms_embedded:
             boxes, scores, classes = out[..., :4], out[..., 4], out[..., 5]
