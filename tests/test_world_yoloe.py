@@ -128,3 +128,36 @@ def test_world_trains_one_step():
     }
     state, metrics = step(state, batch)
     assert float(metrics["finite"]) == 1.0 and np.isfinite(float(metrics["loss"]))
+
+
+def test_jax_clip_text_parity_vs_torch():
+    """The native JAX CLIP text tower must reproduce a (random-weight, tiny)
+    HuggingFace CLIPTextModelWithProjection bit-for-bit within fp32 tolerance
+    — the mechanical-import parity style of utils/torch_import.py, applied to
+    the open-vocabulary text path (reference nn/text_model.py:48)."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    from yolo_master_tpu.nn.text_model import JaxCLIPText
+
+    cfg = CLIPTextConfig(vocab_size=99, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         max_position_embeddings=16, projection_dim=24,
+                         bos_token_id=0, eos_token_id=98, pad_token_id=1)
+    torch.manual_seed(0)
+    m = CLIPTextModelWithProjection(cfg).eval()
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 90, (3, 10)).astype(np.int64)
+    ids[:, -1] = cfg.eos_token_id
+    with torch.no_grad():
+        ref = m(input_ids=torch.from_numpy(ids)).text_embeds
+        ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+
+    enc = JaxCLIPText.from_hf_model(m)
+    eos_idx = (ids == cfg.eos_token_id).argmax(-1)
+    out = enc.encode_tokens(ids, eos_idx)
+    assert np.abs(out - ref).max() < 1e-4, f"max err {np.abs(out - ref).max()}"
