@@ -78,3 +78,50 @@ def test_autobackend_grpc_scheme_predict():
         np.testing.assert_allclose(r.boxes.xyxy, r_local.boxes.xyxy, atol=0.1)
     finally:
         server.stop()
+
+
+def test_dynamic_micro_batching():
+    """Concurrent requests inside the batch window coalesce into one device
+    call (Triton dynamic_batching analog), and every caller gets its own
+    slice back."""
+    pytest.importorskip("grpc")
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yolo_master_tpu.engine.predictor import DetectionPredictor
+    from yolo_master_tpu.nn.tasks import DetectionModel
+
+    cfg = {"nc": 2, "backbone": [[-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [16, 3, 2]]],
+           "head": [[[1], 1, "Detect", ["nc"]]]}
+    model = DetectionModel(cfg)
+    pred = DetectionPredictor(model, model.init_params(0), imgsz=64, conf=1e-6, max_det=8, max_nms=64)
+    server = InferenceServer(pred, max_workers=8, max_batch=8, batch_window_ms=30.0)
+
+    calls = []
+    orig = server._run_device
+
+    def counting(x):
+        calls.append(x.shape[0])
+        return orig(x)
+
+    server._run_device = counting
+    port = server.start(port=0)
+    try:
+        client = InferenceClient(f"127.0.0.1:{port}")
+        x1 = np.full((1, 64, 64, 3), 0.3, np.float32)
+        client.infer(x1)  # warm compile alone
+        calls.clear()
+
+        rng = np.random.default_rng(0)
+        inputs = [rng.random((1, 64, 64, 3)).astype(np.float32) for _ in range(4)]
+        with ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(client.infer, inputs))
+        assert all(o["boxes"].shape[0] == 1 for o in outs)
+        # the four concurrent singles must have coalesced (fewer device calls
+        # than requests, and at least one call with batch > 1)
+        assert len(calls) < 4 and max(calls) > 1, f"no coalescing: {calls}"
+        # per-request results match solo inference
+        solo = [orig(x) for x in inputs]
+        for o, s in zip(outs, solo):
+            np.testing.assert_allclose(o["scores"], s["scores"], atol=1e-5)
+    finally:
+        server.stop()

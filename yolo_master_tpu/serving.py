@@ -79,11 +79,22 @@ class InferenceServer:
     qualify) — the server feeds preprocessed NHWC float batches straight to
     the graph, so serving latency is the compiled-graph latency."""
 
-    def __init__(self, predictor, names: Optional[Dict[int, str]] = None, max_workers: int = 4):
+    def __init__(self, predictor, names: Optional[Dict[int, str]] = None, max_workers: int = 4,
+                 max_batch: int = 0, batch_window_ms: float = 2.0):
         self.predictor = predictor
         self.names = names or getattr(predictor, "names", {})
         self.max_workers = max_workers
         self._server = None
+        # dynamic micro-batching (Triton's dynamic_batching analog): requests
+        # arriving within batch_window_ms coalesce into one device call up to
+        # max_batch images. 0 disables (each request runs alone).
+        self.max_batch = max_batch
+        self.batch_window_ms = batch_window_ms
+        self._queue = None
+        if max_batch > 1:
+            import queue as _q
+
+            self._queue = _q.Queue()
 
     # -- handlers -----------------------------------------------------------
     def _live(self, request: bytes, ctx) -> bytes:
@@ -101,20 +112,58 @@ class InferenceServer:
             "outputs": [{"name": n} for n in ("boxes", "scores", "classes", "valid")],
         })
 
-    def _infer(self, request: bytes, ctx) -> bytes:
+    def _run_device(self, x: np.ndarray):
         import jax
         import jax.numpy as jnp
 
-        tensors, meta = decode(request)
-        x = tensors["images"].astype(np.float32)
         bs = x.shape[0]
         pad_to = max(1, 1 << (bs - 1).bit_length())
         if pad_to != bs:
             x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
         out = self.predictor._get_fn(pad_to)(self.predictor.params,
                                              jnp.asarray(x, self.predictor.compute_dtype))
-        out = jax.tree_util.tree_map(lambda a: np.asarray(a)[:bs], out)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:bs], out)
+
+    def _infer(self, request: bytes, ctx) -> bytes:
+        tensors, meta = decode(request)
+        x = tensors["images"].astype(np.float32)
+        bs = x.shape[0]
+        if self._queue is None:
+            out = self._run_device(x)
+        else:
+            out = self._infer_batched(x)
         return encode({k: v for k, v in out.items()}, {"batch": bs})
+
+    def _infer_batched(self, x: np.ndarray):
+        """Dynamic micro-batching: enqueue, and whichever thread drains the
+        window runs ONE device call for everyone (Triton dynamic_batching)."""
+        import queue as _q
+        import threading
+        import time as _time
+
+        done = threading.Event()
+        slot = {"x": x, "event": done, "out": None}
+        self._queue.put(slot)
+        _time.sleep(self.batch_window_ms / 1e3)  # let peers arrive
+        batch = []
+        try:
+            while len(batch) < self.max_batch:
+                batch.append(self._queue.get_nowait())
+        except _q.Empty:
+            pass
+        if batch:  # this thread became the batch leader
+            xs = np.concatenate([s["x"] for s in batch], 0)
+            out = self._run_device(xs)
+            i = 0
+            import jax
+
+            for s in batch:
+                n = s["x"].shape[0]
+                s["out"] = jax.tree_util.tree_map(lambda a, i=i, n=n: a[i : i + n], out)
+                i += n
+                s["event"].set()
+        done.wait(timeout=30.0)
+        return slot["out"]
 
     # -- lifecycle ------------------------------------------------------------
     def start(self, port: int = 0, address: str = "127.0.0.1") -> int:
