@@ -260,3 +260,52 @@ def test_yolo26_master_parity(torch_reference):
     assert ty.shape == jy.shape
     assert np.abs(ty[..., :4] - jy[..., :4]).max() < 5e-3, "decoded box mismatch"
     assert np.abs(ty[..., 4:] - jy[..., 4:]).max() < 1e-5, "decoded score mismatch"
+
+
+def test_hgnet_blocks_parity(torch_reference):
+    """HGStem/HGBlock (RT-DETR's HGNetV2 backbone pieces) match the reference
+    modules with imported weights (reference nn/modules/block.py:110,146)."""
+    import torch
+
+    from yolo_master_tpu.nn.layers import HGBlock as JHGBlock
+    from yolo_master_tpu.nn.layers import HGStem as JHGStem
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    from ultralytics.nn.modules.block import HGBlock as THGBlock
+    from ultralytics.nn.modules.block import HGStem as THGStem
+
+    import jax
+    import jax.numpy as jnp
+
+    def align_bn(mod):
+        # built ultralytics models re-init every BN to eps=1e-3 (what our
+        # BatchNorm implements); standalone torch modules keep the 1e-5
+        # default — align for an apples-to-apples comparison
+        for m_ in mod.modules():
+            if isinstance(m_, torch.nn.BatchNorm2d):
+                m_.eps = 1e-3
+        return mod
+
+    torch.manual_seed(0)
+    x = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    ts = align_bn(THGStem(3, 16, 32).eval())
+    js = JHGStem(3, 16, 32).finalize("s")
+    ps = import_state_dict(js.init(jax.random.PRNGKey(0)), ts.state_dict(), strict=True)
+    with torch.no_grad():
+        ref = ts(xt).numpy().transpose(0, 2, 3, 1)
+    out = np.asarray(js(ps, jnp.asarray(x), Context(training=False)))
+    assert np.abs(out - ref).max() < 2e-5, f"HGStem maxerr {np.abs(out - ref).max()}"
+
+    for light in (False, True):
+        tb = align_bn(THGBlock(32, 16, 64, k=3, n=3, lightconv=light, shortcut=False).eval())
+        jb = JHGBlock(32, 16, 64, k=3, n=3, lightconv=light, shortcut=False).finalize("b")
+        pb = import_state_dict(jb.init(jax.random.PRNGKey(1)), tb.state_dict(), strict=True)
+        xb = np.random.default_rng(1).standard_normal((2, 8, 8, 32)).astype(np.float32)
+        with torch.no_grad():
+            refb = tb(torch.from_numpy(xb.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        outb = np.asarray(jb(pb, jnp.asarray(xb), Context(training=False)))
+        err = np.abs(outb - refb).max()
+        assert err < 2e-5, f"HGBlock(light={light}) maxerr {err}"
