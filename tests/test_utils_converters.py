@@ -173,3 +173,30 @@ def test_patches_unicode_io(tmp_path):
 
     save_with_retry(flaky, "x", retries=3, delay=0.0)
     assert len(calls) == 3 and (tmp_path / "out.txt").exists()
+
+
+def test_tqdm_and_checks():
+    import io
+
+    from yolo_master_tpu.utils.checks import check_imgsz, check_suffix, check_version
+    from yolo_master_tpu.utils.tqdm import TQDM
+
+    buf = io.StringIO()
+    buf.isatty = lambda: True
+    out = list(TQDM(range(5), total=5, desc="t", file=buf, mininterval=0.0))
+    assert out == [0, 1, 2, 3, 4] and "5/5" in buf.getvalue()
+    # silent when not a tty
+    quiet = io.StringIO()
+    list(TQDM(range(3), file=quiet))
+    assert quiet.getvalue() == ""
+
+    assert check_imgsz(640) == 640
+    assert check_imgsz(100, stride=32) == 128
+    assert check_imgsz([640, 481]) == [640, 512]
+    assert check_version("2.3.1+cpu", ">=2.0,<3.0")
+    assert not check_version("1.9.0", ">=2.0")
+    with pytest.raises(ModuleNotFoundError):
+        check_version("1.0", ">=2.0", hard=True)
+    check_suffix("m.tflite", [".tflite"])
+    with pytest.raises(ValueError, match="suffix"):
+        check_suffix("m.onnx", [".tflite"])

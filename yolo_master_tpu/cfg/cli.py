@@ -73,6 +73,9 @@ def entrypoint(argv=None) -> int:
         return 0
     cfg = parse_args(argv)
     task, mode = cfg["task"], cfg["mode"]
+    from ..utils.checks import check_imgsz
+
+    cfg["imgsz"] = check_imgsz(cfg["imgsz"], stride=32)
 
     from ..models.yolo import YOLO
 

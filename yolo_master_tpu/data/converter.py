@@ -39,7 +39,9 @@ def convert_coco(
     out_dir = Path(save_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     n = 0
-    for img_id, anns in by_img.items():
+    from ..utils.tqdm import TQDM
+
+    for img_id, anns in TQDM(by_img.items(), desc="convert_coco", unit="img"):
         im = images[img_id]
         w, h = im["width"], im["height"]
         rows = []
