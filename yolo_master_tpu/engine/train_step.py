@@ -151,6 +151,7 @@ def make_train_step(
     accumulate: int = 1,
     return_stats: bool = False,
     traced_moe_gain: bool = False,
+    expert_axis: Optional[str] = None,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -164,13 +165,20 @@ def make_train_step(
     With ``return_stats`` the metrics include a ``moe_stats`` subtree of
     per-block routing snapshots (Context.stats) for the usage tracker /
     collapse detector / routing history.
+    With ``expert_axis`` (a second mesh axis name, e.g. 'expert'), routed
+    blocks shard their stacked [E, ...] expert banks over that axis — real
+    expert parallelism of the model's own experts (the reference replicates
+    experts per rank; SURVEY.md §2.7 names EP as the TPU-native addition).
     """
     hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "moe": 0.01, **(hyp or {})}
     if tx is None:
         tx = make_optimizer(0.01)
 
     def loss_fn(params, batch, step_idx, moe_gain=None, aux_ema=None):
-        ctx = Context(training=True, compute_dtype=compute_dtype, step=step_idx, gt=batch)
+        ctx = Context(
+            training=True, compute_dtype=compute_dtype, step=step_idx, gt=batch,
+            expert_axis=expert_axis, mesh=mesh if expert_axis else None,
+        )
         x = batch["images"].astype(compute_dtype)
         h = hyp if moe_gain is None else {**hyp, "moe": moe_gain}
         preds = model.forward_train(params, x, ctx)

@@ -63,6 +63,12 @@ class Context:
     # ground-truth batch, stashed by the train step for models whose FORWARD
     # needs labels (RT-DETR contrastive denoising, reference get_cdn_group)
     gt: Any = None
+    # Expert parallelism (TPU-native addition; the reference replicates experts
+    # per rank, SURVEY.md §2.7): when set, routed blocks stack their expert
+    # params into [E, ...] banks constrained to this mesh axis so XLA
+    # partitions expert compute over it and reduces the mixture over ICI.
+    expert_axis: Optional[str] = None
+    mesh: Any = None
 
     def add_aux(self, path: str, value: jnp.ndarray, family: str = "moe") -> None:
         self.aux[path] = self.aux.get(path, 0.0) + value

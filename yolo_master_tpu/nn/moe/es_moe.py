@@ -125,7 +125,13 @@ class ES_MOE(Module):
             and self.use_top_k
             and self.top_k < self.num_experts
         )
-        if sparse_eval:
+        if ctx.expert_axis is not None and not sparse_eval:
+            # Expert-parallel dense dispatch: the [E, ...] bank of THIS block's
+            # experts is sharded over the mesh 'expert' axis; XLA partitions
+            # the vmapped expert convs across expert shards and all-reduces
+            # the routed mixture (the real-model EP path, not a toy einsum).
+            out = self._expert_parallel_dense(p, x, w, ctx)
+        elif sparse_eval:
             w = self._sparse_retained_weights(w)
             # Gathered dispatch: compute ONLY the top-k experts per sample.
             # All experts share the dwsep structure; the 3/5/7 kernels are
@@ -147,3 +153,81 @@ class ES_MOE(Module):
 
         out = self.norm_bn(p["norm_bn"], out, ctx)
         return silu(out)
+
+    def _expert_parallel_dense(self, p: Params, x: jnp.ndarray, w: jnp.ndarray, ctx: Context) -> jnp.ndarray:
+        """Dense routed mixture with expert compute sharded over ``ctx.expert_axis``.
+
+        Numerically equivalent to the masked-dense loop (kernels zero-padded to
+        the max size are conv-exact for stride-1 SAME convs); the stacked
+        [E, ...] bank is sharding-constrained to the expert mesh axis so GSPMD
+        places expert e's convs on the shard owning bank[e] and inserts the
+        cross-shard reduce for the weighted sum. BN running-stat updates are
+        scattered back to each expert's own path.
+
+        The dwsep expert is written out explicitly here — experts FOLDED into
+        the channel dimension for the depthwise conv (one plain grouped conv
+        over [B, H, W, E*C], groups=E*C) and einsum for the pointwise — rather
+        than vmapping the expert module over the bank: vmapping a conv over
+        its weights lowers to a batch_group_count convolution whose FORWARD
+        and BACKWARD XLA:CPU GSPMD miscompiles under an expert-axis sharding
+        constraint (verified empirically; the channel-folded conv + einsums
+        partition exactly — fp-noise-level deltas fwd and bwd).
+        """
+        from .dispatch import stack_expert_params
+
+        E = self.num_experts
+        assert self.experts[0].conv.s == 1, "EP dense path assumes stride-1 experts (kernel zero-padding exactness)"
+        bank = stack_expert_params([p["experts"][str(i)] for i in range(E)])
+        if ctx.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(ctx.mesh, P(ctx.expert_axis))
+            bank = jax.tree_util.tree_map(lambda l: jax.lax.with_sharding_constraint(l, sh), bank)
+        conv_p = bank["conv"]
+        dw = conv_p["depthwise"]["w"]      # [E, k, k, 1, C]
+        pw = conv_p["pointwise"]["w"]      # [E, 1, 1, C, O]
+        k = dw.shape[1]
+        c1 = self.in_channels
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+
+        from ..layers import conv2d
+
+        # channel-folded depthwise: out channel j = e*C + c applies expert e's
+        # kernel to input channel c of the e-th tiled copy
+        xt = jnp.tile(x, (1, 1, 1, E))
+        dwt = dw.transpose(1, 2, 3, 0, 4).reshape(k, k, 1, E * c1)
+        y = conv2d(xt, dwt, stride=1, padding=(k - 1) // 2, groups=E * c1)  # [B,H,W,E*C]
+        y = y.reshape(B, H, W, E, c1)
+        if ctx.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            y = jax.lax.with_sharding_constraint(
+                y, NamedSharding(ctx.mesh, P("data", None, None, ctx.expert_axis))
+            )
+        # pointwise as a per-expert matmul
+        y = jnp.einsum("bhwec,eco->bhweo", y, pw[:, 0, 0].astype(y.dtype))
+        if "b" in conv_p["pointwise"]:  # deploy-fused form (utils/fuse.py)
+            y = y + conv_p["pointwise"]["b"][None, None, None].astype(y.dtype)
+        elif "bn" in conv_p:
+            bnp = conv_p["bn"]
+            eps = self.experts[0].conv.bn.eps
+            mom = self.experts[0].conv.bn.momentum
+            yf = y.astype(jnp.float32)
+            if ctx.training:
+                mean = jnp.mean(yf, (0, 1, 2))  # [E, O]
+                var = jnp.var(yf, (0, 1, 2))
+                n = B * H * W
+                unbiased = var * (n / max(n - 1, 1))
+                for i in range(E):
+                    ctx.updates[f"{self.path}.experts.{i}.conv.bn"] = {
+                        "mean": (1 - mom) * bnp["mean"][i] + mom * jax.lax.stop_gradient(mean[i]),
+                        "var": (1 - mom) * bnp["var"][i] + mom * jax.lax.stop_gradient(unbiased[i]),
+                    }
+            else:
+                mean, var = bnp["mean"], bnp["var"]
+            inv = jax.lax.rsqrt(var + eps) * bnp["scale"]  # [E, O]
+            yf = (yf - mean[None, None, None]) * inv[None, None, None] + bnp["bias"][None, None, None]
+            y = yf.astype(x.dtype)
+        y = silu(y)
+        out = jnp.einsum("bhweo,be->bhwo", y.astype(jnp.float32), w.astype(jnp.float32)).astype(x.dtype)
+        return out

@@ -9,10 +9,12 @@ reductions over ICI. The reference's collective control flow (loss AVG,
 stop broadcast, non-finite any-reduce) becomes plain jnp reductions inside the
 jitted step — identical math on every shard by construction.
 
-Expert parallelism: ES-MoE experts are replicated like the reference (which
-has no cross-device expert parallelism); an 'expert' mesh axis can be added
-for larger expert counts without changing the module code (grouped dispatch
-in nn/moe shards over it).
+Expert parallelism (the TPU-native addition; the reference replicates experts
+per rank): pass ``expert_axis='expert'`` to ``make_train_step`` with a
+('data', 'expert') mesh — routed blocks stack their [E, ...] expert banks and
+constrain them to the expert axis so XLA partitions expert compute over it
+(nn/moe/es_moe.py:_expert_parallel_dense; equality gate
+tests/test_expert_parallel.py).
 """
 
 from __future__ import annotations
@@ -49,14 +51,14 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def expert_parallel_dryrun(n_devices: int, E: int = 8, C: int = 64, O: int = 64) -> float:
-    """Exercise the 'expert' mesh axis end-to-end: shard an [E, C, O] expert
-    weight bank over a ('data', 'expert') mesh and run one routed
-    forward+backward step.
+    """Minimal standalone exercise of the 'expert' mesh axis: shard an
+    [E, C, O] weight bank over a ('data', 'expert') mesh and run one routed
+    forward+backward step. Returns the (finite) scalar loss.
 
-    The reference has NO cross-device expert parallelism (experts replicated
-    per rank, SURVEY.md §2.7); this is the TPU-native addition: XLA partitions
-    the per-expert einsum over 'expert' shards and inserts the reduce over ICI.
-    Returns the (finite) scalar loss.
+    This is a mesh-infrastructure smoke only — the REAL model's expert
+    parallelism (ES_MOE banks sharded inside make_train_step via
+    ``expert_axis=``) is gated by tests/test_expert_parallel.py and exercised
+    by ``__graft_entry__.dryrun_multichip``.
     """
     import jax.numpy as jnp
 
