@@ -369,6 +369,92 @@ class DataLoader:
             yield _default_collate(self.ds, samples)
 
 
+class PrefetchLoader:
+    """Threaded prefetching loader — the TPU-side analog of the reference's
+    ``InfiniteDataLoader`` + worker processes (data/build.py:43-126).
+
+    The synchronous :class:`DataLoader` decodes+augments on the consumer
+    thread, so a real chip starves between steps. Here:
+
+      * ``workers`` threads decode/augment samples concurrently (cv2 and
+        numpy release the GIL for the heavy parts);
+      * up to ``prefetch`` ready batches are staged ahead of the consumer;
+      * with ``sharding`` set, finished batches are ``jax.device_put`` on the
+        producer side so host->device transfer overlaps the running step.
+
+    Batches are deterministic regardless of thread timing: each sample draws
+    from its own RNG stream keyed by (seed, epoch, position) instead of the
+    shared sequential stream the synchronous loader threads through
+    ``load_sample``.
+    """
+
+    def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, workers: int = 4, prefetch: int = 3, sharding=None):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.workers = max(1, workers)
+        self.prefetch = max(1, prefetch)
+        self.sharding = sharding
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def _batch_indices(self, epoch: int):
+        rng = random.Random(self.seed + epoch)
+        order = list(range(len(self.ds)))
+        if self.shuffle:
+            rng.shuffle(order)
+        out = []
+        for start in range(0, len(order), self.bs):
+            idxs = order[start : start + self.bs]
+            if len(idxs) < self.bs:
+                if self.drop_last:
+                    break
+                idxs = idxs + order[: self.bs - len(idxs)]  # wrap: static shapes
+            out.append(idxs)
+        return out
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        batches = self._batch_indices(epoch)
+        base = (self.seed + epoch) * 1_000_003
+
+        def build(bi_idxs):
+            bi, idxs = bi_idxs
+            def one(j_i):
+                j, i = j_i
+                return self.ds.load_sample(i, random.Random(base + bi * self.bs + j))
+            samples = list(sample_pool.map(one, enumerate(idxs)))
+            batch = _default_collate(self.ds, samples)
+            if self.sharding is not None:
+                import jax
+
+                batch = jax.device_put(batch, self.sharding)
+            return batch
+
+        with ThreadPoolExecutor(self.workers) as sample_pool, \
+                ThreadPoolExecutor(self.prefetch) as batch_pool:
+            futs = collections.deque()
+            it = iter(enumerate(batches))
+            for _ in range(self.prefetch):
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                futs.append(batch_pool.submit(build, nxt))
+            while futs:
+                f = futs.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futs.append(batch_pool.submit(build, nxt))
+                yield f.result()
+
+
 # ---------------------------------------------------------------------------
 # Task-specific datasets (reference data/dataset.py:52-974: YOLODataset task
 # modes + ClassificationDataset). Label formats:

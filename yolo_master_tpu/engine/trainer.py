@@ -83,6 +83,9 @@ class DetectionTrainer:
         close_mosaic: int = 10,
         moe_schedule: Optional[str] = "gini",
         peft: Optional[Dict] = None,
+        workers: int = 4,
+        prefetch: int = 3,
+        expert_parallel: int = 1,
     ):
         self.yolo = yolo
         self.model = yolo.model
@@ -100,6 +103,17 @@ class DetectionTrainer:
                 self.adapter_controller = None
         self.data = data
         self.epochs = epochs
+        if expert_parallel > 1 and mesh is None:
+            # expert parallelism: second mesh axis over which routed blocks
+            # shard their [E, ...] banks (make_train_step expert_axis)
+            import jax as _jax
+
+            from ..parallel.mesh import make_mesh
+
+            n = len(_jax.devices())
+            assert n % expert_parallel == 0, f"{n} devices not divisible by expert_parallel={expert_parallel}"
+            mesh = make_mesh(n, axes=("data", "expert"), shape=(n // expert_parallel, expert_parallel))
+        self.expert_axis = "expert" if (mesh is not None and "expert" in mesh.axis_names) else None
         if batch == -1:  # reference batch=-1 -> AutoBatch (utils/autobatch.py:15)
             batch = self._autobatch(yolo, imgsz, max_gt, hyp or {}, mesh, compute_dtype, amp)
             LOGGER.info(f"autobatch selected batch={batch}")
@@ -117,12 +131,30 @@ class DetectionTrainer:
         compute_dtype = compute_dtype or (jnp.bfloat16 if amp else jnp.float32)
 
         self.train_set = self._build_dataset(data, "train")
-        self.loader = DataLoader(self.train_set, batch, shuffle=True, seed=seed)
+        if workers and workers > 0:
+            # threaded prefetching input pipeline (reference InfiniteDataLoader
+            # + workers, data/build.py:43-126): decode/augment off the step
+            # thread, stage `prefetch` batches, overlap device_put with compute
+            from ..data.dataset import PrefetchLoader
+
+            self.loader = PrefetchLoader(
+                self.train_set, batch, shuffle=True, seed=seed,
+                workers=workers, prefetch=prefetch,
+            )
+        else:
+            self.loader = DataLoader(self.train_set, batch, shuffle=True, seed=seed)
         nb = max(len(self.loader), 1)
         # grad accumulation toward the nominal batch (reference nbs=64,
         # accumulate = max(round(nbs/batch), 1)): group `accumulate` loader
         # batches into one super-batch step, micro-batched inside the jit
         self.accumulate = max(1, min(round(nbs / batch), nb))
+        if self.accumulate == 1 and mesh is not None and hasattr(self.loader, "sharding"):
+            # producer-side device_put: overlap host->device transfer with the
+            # running step (skipped under accumulation, where super-batches are
+            # concatenated on host first)
+            from ..parallel.mesh import shard_batch
+
+            self.loader.sharding = shard_batch(mesh)
         nb_opt = max(nb // self.accumulate, 1)  # optimizer steps per epoch
         self.nb_opt = nb_opt
         warmup_steps = max(round(warmup_epochs * nb_opt), 100) if warmup_epochs > 0 else 0
@@ -181,7 +213,7 @@ class DetectionTrainer:
         self.step_fn = make_train_step(
             self.model, tx=self.tx, mesh=mesh, imgsz=imgsz, batch_per_step=batch * self.accumulate,
             max_gt=max_gt, hyp=self.hyp, compute_dtype=compute_dtype, accumulate=self.accumulate,
-            return_stats=True, traced_moe_gain=True,
+            return_stats=True, traced_moe_gain=True, expert_axis=self.expert_axis,
         )
         from ..utils.callbacks import default_callbacks
         from .recovery import TrainingRecoveryController
