@@ -691,10 +691,12 @@ class GroupNorm(Module):
 class PlainConv(Module):
     """Bare conv2d without norm/act (torch nn.Conv2d analog), optional bias."""
 
-    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, bias=False):
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, bias=False, dilation=1):
         super().__init__()
         self.c1, self.c2, self.k, self.s, self.g = c1, c2, k, s, g
-        self.p = autopad(k, p)
+        self.dilation = dilation
+        # dilated 'same' padding: d*(k-1)//2 (torch padding=dilation for k=3)
+        self.p = autopad(k, p) if dilation == 1 else dilation * (k - 1) // 2
         self.bias = bias
 
     def init(self, key) -> Params:
@@ -707,7 +709,7 @@ class PlainConv(Module):
         return out
 
     def __call__(self, p: Params, x, ctx: Context):
-        y = conv2d(x, p["w"], stride=self.s, padding=self.p, groups=self.g)
+        y = conv2d(x, p["w"], stride=self.s, padding=self.p, groups=self.g, dilation=self.dilation)
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         return y

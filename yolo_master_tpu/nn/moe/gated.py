@@ -366,6 +366,9 @@ class AdaptiveGateMoE(Module):
 
     def __call__(self, p, x, ctx: Context):
         xs, xd = self._se_split(p, x, ctx)
+        dg = getattr(self, "detail_gate", None)
+        if dg is not None:  # v0.9/v0.10 detail-aware variants
+            xd = dg(p["detail_gate"], xd, ctx)
         out_static = self.static_net(p["static_net"], xs, ctx)
         complexity = self._complexity(p, xd, ctx)
         w, idx, stats = self.routing(p["routing"], xd, ctx, temperature=self._temperature(ctx))
@@ -528,22 +531,33 @@ class VisualEnhancedAdaptiveGateMoE(ContextRefinedLowRankHybridAdaptiveGateMoE):
 
     def __init__(self, *args, detail_reduction=8, **kw):
         super().__init__(*args, **kw)
+        # applied on the dynamic branch before routing by the base __call__
         self.detail_gate = VisualDetailGate(self.dynamic_channels, reduction=detail_reduction)
 
-    def __call__(self, p, x, ctx: Context):
-        xs, xd = self._se_split(p, x, ctx)
-        xd = self.detail_gate(p["detail_gate"], xd, ctx)
-        out_static = self.static_net(p["static_net"], xs, ctx)
-        complexity = self._complexity(p, xd, ctx)
-        w, idx, stats = self.routing(p["routing"], xd, ctx, temperature=self._temperature(ctx))
-        w = self._complexity_gate(w, complexity)
-        out_dynamic = self.fused_experts(p["fused_experts"], xd, ctx, w, idx, self.top_k)
-        out = self._channel_shuffle(jnp.concatenate([out_static, out_dynamic], -1))
-        out = self._post_mix(p, out, ctx)
-        out = self.proj(p["proj"], out, ctx)
-        out = self.bn(p["bn"], out, ctx) + x
-        self._publish_aux(ctx, stats, w, idx)
-        return out
+
+class FusedAdaptiveGateMoE(AdaptiveGateMoE):
+    """v0.5: AdaptiveGateMoE with fully-fused expert candidates — keeps v0.4
+    dual-stream routing but swaps the sparse per-expert projections for the
+    one-grouped-conv FusedExpertGroup (reference gated.py:1242-1283)."""
+
+    def __init__(self, in_channels, out_channels, num_experts=4, top_k=2, split_ratio=0.5,
+                 num_groups=8, initial_temperature=1.0, final_temperature=0.5,
+                 balance_loss_coeff=1.0, router_z_loss_coeff=1.0, entropy_loss_coeff=0.01):
+        super().__init__(in_channels, out_channels, num_experts, top_k, split_ratio, num_groups,
+                         initial_temperature, final_temperature, balance_loss_coeff,
+                         router_z_loss_coeff, entropy_loss_coeff)
+        self.expert_backend = "fused"
+        self.fused_experts = FusedExpertGroup(self.dynamic_channels, self.out_dynamic, num_experts, num_groups, top_k=top_k)
+
+
+class DetailAwareLowRankHybridAdaptiveGateMoE(LowRankHybridAdaptiveGateMoE):
+    """v0.9: LowRankHybrid + VisualDetailGate enhancing the dynamic branch
+    BEFORE routing, so router and experts see high-frequency residual cues
+    (reference gated.py:1635-1689)."""
+
+    def __init__(self, *args, detail_reduction=8, **kw):
+        super().__init__(*args, **kw)
+        self.detail_gate = VisualDetailGate(self.dynamic_channels, reduction=detail_reduction)
 
 
 class OptimalHybridGateMoE(HybridAdaptiveGateMoEv2, _RefineMixin):
@@ -564,6 +578,158 @@ class OptimalHybridGateMoE(HybridAdaptiveGateMoEv2, _RefineMixin):
 
     def _post_mix(self, p, out, ctx):
         return self._refine(p, out, ctx) if self.refine_on else out
+
+
+class MultiHeadRouterV3(DualStreamGateRouterV2):
+    """v0.13 multi-head parallel router (reference gated.py:2080-2265): the
+    normalized [B, 2C] stats are split into ``num_heads`` slices, each with
+    its own low-rank expert projection; heads are soft-merged by a learned
+    per-head weight around a residual full-stats projection, plus the V2
+    local branch, expert prior, decaying train noise, and soft expert dropout
+    (a dropped top-k slot is scaled by 0.5, not zeroed)."""
+
+    def __init__(self, in_channels, num_experts, top_k, temperature=1.0,
+                 local_reduction=16, pool_scale=4, noise_std=0.1,
+                 num_heads=4, expert_dropout=0.1):
+        super().__init__(in_channels, num_experts, top_k, temperature, local_reduction, pool_scale, noise_std)
+        stat_dim = 2 * in_channels
+        self.num_heads = max(1, min(num_heads, num_experts))
+        self.head_dim = max(stat_dim // self.num_heads, 4)
+        self.expert_dropout = float(expert_dropout)
+        self.heads = ModuleList([Linear(self.head_dim, num_experts, bias=False) for _ in range(self.num_heads)])
+        # global_fc doubles as the residual full-stats projection (reference
+        # global_proj); DualStreamGateRouter already owns it
+
+    def init(self, key) -> Params:
+        p = super().init(key)
+        ks = jax.random.split(key, self.num_heads + 1)
+        for i in range(self.num_heads):
+            p["heads"][str(i)]["w"] = 0.02 * jax.random.normal(ks[i], p["heads"][str(i)]["w"].shape)
+        p["global_fc"]["w"] = 0.02 * jax.random.normal(ks[-1], p["global_fc"]["w"].shape)
+        p["head_alpha"] = jnp.full((self.num_heads,), 1.0 / self.num_heads, jnp.float32)
+        p["global_weight"] = jnp.asarray(0.1, jnp.float32)
+        return p
+
+    def fused_logits(self, p, x, ctx):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2))
+        std = jnp.std(xf, axis=(1, 2))
+        stats = self.stat_norm(p["stat_norm"], jnp.concatenate([mean, std], -1), ctx)
+        hw = jax.nn.sigmoid(p["head_alpha"])
+        hw = hw / (jnp.sum(hw) + 1e-6)
+        gw = jax.nn.sigmoid(p["global_weight"])
+        need = self.head_dim * self.num_heads
+        sp = jnp.pad(stats, ((0, 0), (0, max(need - stats.shape[1], 0))))[:, :need]
+        chunks = sp.reshape(stats.shape[0], self.num_heads, self.head_dim)
+        logits = gw * self.global_fc(p["global_fc"], stats, ctx)
+        for i, h in enumerate(self.heads):
+            logits = logits + (1 - gw) * hw[i] * h(p["heads"][str(i)], chunks[:, i], ctx)
+        l = self._local_logits(p, x, ctx)
+        alpha = jax.nn.sigmoid(p["alpha"])
+        logits = alpha * logits + (1 - alpha) * l + p["expert_prior"][None]
+        if ctx.training and self.noise_std_init > 0:
+            decay = jnp.clip(1.0 - jnp.asarray(ctx.step, jnp.float32) / 1000.0, 0.0, 1.0)
+            noise = jax.random.normal(_path_key(ctx.step, self.path), logits.shape)
+            logits = logits + noise * self.noise_std_init * decay
+        return jnp.clip(logits, -LOGIT_CLAMP, LOGIT_CLAMP)
+
+    def __call__(self, p, x, ctx: Context, temperature=None):
+        logits = self.fused_logits(p, x, ctx)
+        probs = jax.nn.softmax(logits / (temperature if temperature is not None else self.temperature), -1)
+        w, idx = jax.lax.top_k(probs, self.top_k)
+        if ctx.training and self.expert_dropout > 0 and self.top_k > 1:
+            # soft expert dropout: scale ONE random top-k slot by 0.5 for
+            # a random expert_dropout fraction of samples (gated.py:2224-2238)
+            B = w.shape[0]
+            kd = _path_key(ctx.step + 1, self.path)
+            k1, k2 = jax.random.split(kd)
+            drop = jax.random.uniform(k1, (B, 1)) < self.expert_dropout
+            slot = jax.random.randint(k2, (B, 1), 0, self.top_k)
+            hit = jnp.arange(self.top_k)[None] == slot
+            w = jnp.where(drop & hit, w * 0.5, w)
+        w = w / (jnp.sum(w, -1, keepdims=True) + 1e-6)
+        return w, idx, {"router_probs": probs, "router_logits": logits}
+
+
+class MultiHeadRouterMoE(OptimalHybridGateMoE):
+    """v0.13 MoE: the v0.12 core with MultiHeadRouterV3 routing
+    (reference gated.py:2479-2533)."""
+
+    def __init__(self, in_channels, out_channels, num_experts=4, top_k=2, split_ratio=0.5,
+                 num_groups=8, initial_temperature=1.2, final_temperature=0.5,
+                 balance_loss_coeff=1.0, router_z_loss_coeff=1.0, entropy_loss_coeff=0.01,
+                 fused_expert_threshold=8, shuffle_groups=2, refine=True, refine_reduction=8,
+                 num_heads=4, expert_dropout=0.05):
+        super().__init__(in_channels, out_channels, num_experts, top_k, split_ratio, num_groups,
+                         initial_temperature, final_temperature, balance_loss_coeff,
+                         router_z_loss_coeff, entropy_loss_coeff, fused_expert_threshold,
+                         shuffle_groups, refine=refine, refine_reduction=refine_reduction)
+        self.routing = MultiHeadRouterV3(
+            self.dynamic_channels, num_experts, top_k, temperature=initial_temperature,
+            num_heads=num_heads, expert_dropout=expert_dropout,
+        )
+
+
+class DiversifiedExpertGroup(Module):
+    """v0.14 heterogeneous expert pool (reference gated.py:2267-2477): shared
+    1x1 expand, per-expert 3x3 DW with cycled dilation 1,1,2,2,... (different
+    effective receptive fields), per-expert 1x1 projection; masked-dense
+    dispatch so shapes stay static under jit."""
+
+    def __init__(self, in_channels, out_channels, num_experts, expand_ratio=2.0,
+                 top_k=2, weight_threshold=0.0, num_groups=8):
+        super().__init__()
+        self.num_experts, self.out_channels = num_experts, out_channels
+        self.top_k, self.weight_threshold = top_k, weight_threshold
+        hid = max(1, int(in_channels * expand_ratio))
+        self.hid = hid
+        self.shared_expand = ConvSeq(
+            PlainConv(in_channels, hid, 1), GroupNorm(hid, num_groups), _SiLUm()
+        )
+        self.dilations = [1 + (i // 2) for i in range(num_experts)]
+        self.dw_layers = ModuleList([
+            ConvSeq(PlainConv(hid, hid, 3, g=hid, dilation=d), GroupNorm(hid, num_groups), _SiLUm())
+            for d in self.dilations
+        ])
+        self.expert_projections = ModuleList([
+            ConvSeq(PlainConv(hid, out_channels, 1), GroupNorm(out_channels, num_groups))
+            for _ in range(num_experts)
+        ])
+
+    def __call__(self, p, x, ctx, routing_weights=None, routing_indices=None, top_k=None):
+        B = x.shape[0]
+        k = top_k or self.top_k
+        feats = self.shared_expand(p["shared_expand"], x, ctx)
+        idx = routing_indices.reshape(B, k)
+        wts = routing_weights.reshape(B, k)
+        wts = wts * (wts > self.weight_threshold)
+        w_full = jnp.zeros((B, self.num_experts), wts.dtype)
+        w_full = jax.vmap(lambda wf, i, v: wf.at[i].add(v))(w_full, idx, wts)
+        out = None
+        for e in range(self.num_experts):
+            y = self.dw_layers[e](p["dw_layers"][str(e)], feats, ctx)
+            y = self.expert_projections[e](p["expert_projections"][str(e)], y, ctx)
+            term = y * w_full[:, e][:, None, None, None].astype(y.dtype)
+            out = term if out is None else out + term
+        return out
+
+
+class DiversifiedExpertMoE(OptimalHybridGateMoE):
+    """v0.14 MoE: the v0.12 core with DiversifiedExpertGroup experts
+    (reference gated.py:2535-2583)."""
+
+    def __init__(self, in_channels, out_channels, num_experts=4, top_k=2, split_ratio=0.5,
+                 num_groups=8, initial_temperature=1.2, final_temperature=0.5,
+                 balance_loss_coeff=1.0, router_z_loss_coeff=1.0, entropy_loss_coeff=0.01,
+                 fused_expert_threshold=8, shuffle_groups=2, refine=True, refine_reduction=8):
+        super().__init__(in_channels, out_channels, num_experts, top_k, split_ratio, num_groups,
+                         initial_temperature, final_temperature, balance_loss_coeff,
+                         router_z_loss_coeff, entropy_loss_coeff, fused_expert_threshold,
+                         shuffle_groups, refine=refine, refine_reduction=refine_reduction)
+        self.fused_experts = DiversifiedExpertGroup(
+            self.dynamic_channels, self.out_dynamic, num_experts, expand_ratio=2.0,
+            top_k=top_k, weight_threshold=0.0, num_groups=num_groups,
+        )
 
 
 class GatedFusionMoE(OptimalHybridGateMoE):

@@ -55,10 +55,14 @@ from .mot import C2fMoT, MoTBlock
 from .latent_mixture import LatentMixture, MultiScaleLatentMixture
 from .moe.gated import (
     AdaptiveGateMoE,
+    DetailAwareLowRankHybridAdaptiveGateMoE,
+    DiversifiedExpertMoE,
+    FusedAdaptiveGateMoE,
     GatedFusionMoE,
     HybridAdaptiveGateMoE,
     HybridAdaptiveGateMoEv2,
     LowRankHybridAdaptiveGateMoE,
+    MultiHeadRouterMoE,
     OptimalHybridGateMoE,
     RefinedLowRankHybridAdaptiveGateMoE,
     ContextRefinedLowRankHybridAdaptiveGateMoE,
@@ -110,6 +114,10 @@ MODULE_REGISTRY: Dict[str, type] = {
     "LatentMixture": LatentMixture,
     "MultiScaleLatentMixture": MultiScaleLatentMixture,
     "AdaptiveGateMoE": AdaptiveGateMoE,
+    "FusedAdaptiveGateMoE": FusedAdaptiveGateMoE,
+    "DetailAwareLowRankHybridAdaptiveGateMoE": DetailAwareLowRankHybridAdaptiveGateMoE,
+    "MultiHeadRouterMoE": MultiHeadRouterMoE,
+    "DiversifiedExpertMoE": DiversifiedExpertMoE,
     "HybridAdaptiveGateMoE": HybridAdaptiveGateMoE,
     "HybridAdaptiveGateMoEv2": HybridAdaptiveGateMoEv2,
     "LowRankHybridAdaptiveGateMoE": LowRankHybridAdaptiveGateMoE,
@@ -133,10 +141,11 @@ REPEAT_MODULES = {C2f, C3, C3k, C3k2, C2PSA, A2C2f, A2C2fMoE, C2fMoA, C2fMoT, Re
 BASE_MODULES = {Conv, DWConv, Bottleneck, C2f, C3, C3k, C3k2, SPPF, C2PSA, A2C2f, Classify, RepC3, RepConv}
 MIXTURE_MODULES = {
     ES_MOE, A2C2fMoE, OptimizedMOEImproved, C2fMoA, C2fMoT, MoABlock, MoTBlock,
-    AdaptiveGateMoE, HybridAdaptiveGateMoE, HybridAdaptiveGateMoEv2,
+    AdaptiveGateMoE, FusedAdaptiveGateMoE, HybridAdaptiveGateMoE, HybridAdaptiveGateMoEv2,
     LowRankHybridAdaptiveGateMoE, RefinedLowRankHybridAdaptiveGateMoE,
+    DetailAwareLowRankHybridAdaptiveGateMoE,
     ContextRefinedLowRankHybridAdaptiveGateMoE, VisualEnhancedAdaptiveGateMoE,
-    OptimalHybridGateMoE, GatedFusionMoE,
+    OptimalHybridGateMoE, GatedFusionMoE, MultiHeadRouterMoE, DiversifiedExpertMoE,
     UltraOptimizedMoE, AdaptiveCapacityMoE, HyperUltimateMoE, UltimateOptimizedMoE,
     DyC2f, DyMoEBlock,
 }
@@ -179,6 +188,11 @@ def parse_model(cfg: dict, ch: int = 3, scale: Optional[str] = None, verbose: bo
         m = MODULE_REGISTRY[mname]
         if m == "rtdetr":
             from ..models.rtdetr import RTDETRDecoder as m  # noqa: N813
+        # literal resolution (reference parse_model runs ast.literal_eval on
+        # string args, tasks.py:1972): YAML's bare None/True/False arrive as
+        # strings from reference-authored YAMLs
+        _LITERALS = {"None": None, "True": True, "False": False, "none": None, "true": True, "false": False}
+        args = [_LITERALS.get(a, a) if isinstance(a, str) else a for a in args]
         args = [
             nc if a == "nc" else cfg.get("kpt_shape", (17, 3)) if a == "kpt_shape" else a for a in args
         ]
