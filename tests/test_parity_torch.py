@@ -262,6 +262,44 @@ def test_yolo26_master_parity(torch_reference):
     assert np.abs(ty[..., 4:] - jy[..., 4:]).max() < 1e-5, "decoded score mismatch"
 
 
+def test_v0_10_gated_family_parity(torch_reference):
+    """v0_10 VisualEnhancedAdaptiveGateMoE — the released-EsMoE-weights
+    architecture (reference model-zoo/models.json:5, cfg/models/master/v0_10)
+    — decoded-output parity with imported weights (VERDICT r2 item 2). This
+    exercises the whole gated chain: SE split, DualStreamGateRouter, low-rank
+    fused experts, complexity gate, detail gate, context mixer, refinement."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as TorchModel
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import DetectionModel as JaxModel
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    tm = TorchModel(
+        "/root/reference/ultralytics/cfg/models/master/v0_10/det/yolo-master-n.yaml", verbose=False
+    )
+    tm.eval()
+    jm = JaxModel("yolo-master-v0_10-n")
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()  # [B, 4+nc, A]
+
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    jy = np.asarray(jm.forward_predict(params, jx, Context(training=False))).transpose(0, 2, 1)
+    assert ty.shape == jy.shape
+    box_err = np.abs(ty[:, :4] - jy[:, :4]).max()
+    score_err = np.abs(ty[:, 4:] - jy[:, 4:]).max()
+    assert box_err < 5e-3, f"v0_10 box decode mismatch: {box_err}"
+    assert score_err < 1e-5, f"v0_10 score mismatch: {score_err}"
+
+
 def test_hgnet_blocks_parity(torch_reference):
     """HGStem/HGBlock (RT-DETR's HGNetV2 backbone pieces) match the reference
     modules with imported weights (reference nn/modules/block.py:110,146)."""

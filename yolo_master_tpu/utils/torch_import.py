@@ -33,10 +33,21 @@ def _to_numpy(v) -> np.ndarray:
     return v.detach().cpu().numpy()
 
 
+# Sequential-index shifts: the reference wraps paramless pooling/flatten
+# modules in nn.Sequential (AdaptiveGateMoE family, gated.py); we apply
+# pooling functionally, so our child indices start at 0. Keyed by the parent
+# segment name; value = torch index offset for the following numeric segment.
+_SEQ_SHIFT = {"se_gate": 2, "feature_gate": 1}
+# single-module-on-our-side vs Sequential-on-torch-side (pool + conv)
+_WRAPPED = {"complexity_estimator": "1", "context_gate": "0"}
+
+
 def _torch_key(path: list[str]) -> list[str]:
     """Map our param path to the reference torch state_dict key parts."""
     parts: list[str] = []
-    for seg in path:
+    i = 0
+    while i < len(path):
+        seg = path[i]
         if seg == "layers":
             parts.append("model")
         elif seg == "norm_bn":
@@ -45,8 +56,15 @@ def _torch_key(path: list[str]) -> list[str]:
             parts.extend(["routing_network", "0"])
         elif seg == "fc2":
             parts.extend(["routing_network", "2"])
+        elif seg in _SEQ_SHIFT and i + 1 < len(path) and path[i + 1].isdigit():
+            parts.append(seg)
+            parts.append(str(int(path[i + 1]) + _SEQ_SHIFT[seg]))
+            i += 1
+        elif seg in _WRAPPED and (i + 1 == len(path) or not path[i + 1].isdigit()):
+            parts.extend([seg, _WRAPPED[seg]])
         else:
             parts.append(seg)
+        i += 1
     return parts
 
 
