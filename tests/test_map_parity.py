@@ -102,10 +102,13 @@ def pair(torch_reference, synth_dataset):
     X = torch.from_numpy(np.stack(imgs))
     T = torch.tensor(targets, dtype=torch.float32)
 
-    opt = torch.optim.Adam(tm.parameters(), lr=2e-3)
+    # 300 steps @3e-3 measured to reach max score ~0.97 with ~140 above-conf
+    # candidates per image on this set (shorter runs leave every score under
+    # the 0.001 val threshold and the gate would compare 0 with 0)
+    opt = torch.optim.Adam(tm.parameters(), lr=3e-3)
     tm.train()
     g = torch.Generator().manual_seed(3)
-    for step in range(60):
+    for step in range(300):
         sel = torch.randperm(len(X), generator=g)[:8]
         rows = torch.cat([T[T[:, 0] == int(s)] for s in sel])
         remap = {int(s): j for j, s in enumerate(sel)}

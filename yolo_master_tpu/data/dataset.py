@@ -100,6 +100,21 @@ class YOLODataset:
     def __len__(self):
         return len(self.img_files)
 
+    def _rect_resize(self, im: np.ndarray) -> np.ndarray:
+        """Reference base.load_image rect_mode resize: long side -> imgsz with
+        CEIL dims, INTER_LINEAR, both up- and down-scaling (base.py:250-262).
+        The subsequent letterbox then sees r==1 and only pads — mirroring the
+        reference composition is required for val pixel/mAP parity."""
+        import cv2
+
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            w1 = min(math.ceil(w0 * r), self.imgsz)
+            h1 = min(math.ceil(h0 * r), self.imgsz)
+            im = cv2.resize(im, (w1, h1), interpolation=cv2.INTER_LINEAR)
+        return im
+
     # -- single-sample pipeline -------------------------------------------------
     def load_sample(self, idx: int, rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (image HWC RGB float-ready uint8, labels [N,5] cls+xyxy px)."""
@@ -122,9 +137,12 @@ class YOLODataset:
             boxes_px = lbl[:, 1:5]
             cls = lbl[:, 0]
         else:
-            # cls,xc,yc,w,h normalized -> xyxy px
+            im = self._rect_resize(im)  # val/train pixel parity, see helper
+            h1, w1 = im.shape[:2]
+            # cls,xc,yc,w,h normalized -> xyxy px in RESIZED space (the
+            # reference denormalizes by the resized shape)
             cls = lbl[:, 0]
-            xc, yc, w, h = lbl[:, 1] * w0, lbl[:, 2] * h0, lbl[:, 3] * w0, lbl[:, 4] * h0
+            xc, yc, w, h = lbl[:, 1] * w1, lbl[:, 2] * h1, lbl[:, 3] * w1, lbl[:, 4] * h1
             boxes_px = np.stack([xc - w / 2, yc - h / 2, xc + w / 2, yc + h / 2], -1) if len(lbl) else np.zeros((0, 4), np.float32)
 
         im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
@@ -486,8 +504,8 @@ class SegmentDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = cv2.imread(self.img_files[idx])
-        h0, w0 = im.shape[:2]
+        im = self._rect_resize(cv2.imread(self.img_files[idx]))
+        h0, w0 = im.shape[:2]  # resized dims; labels denormalize against them
         rows = self.labels[idx]
         im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
         H = W = self.imgsz
@@ -541,8 +559,8 @@ class PoseDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = cv2.imread(self.img_files[idx])
-        h0, w0 = im.shape[:2]
+        im = self._rect_resize(cv2.imread(self.img_files[idx]))
+        h0, w0 = im.shape[:2]  # resized dims (labels denormalize against them)
         lbl = self.labels[idx]
         nk, nd = self.kpt_shape
         im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
@@ -610,8 +628,8 @@ class OBBDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = cv2.imread(self.img_files[idx])
-        h0, w0 = im.shape[:2]
+        im = self._rect_resize(cv2.imread(self.img_files[idx]))
+        h0, w0 = im.shape[:2]  # resized dims (labels denormalize against them)
         lbl = self.labels[idx]
         im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
         rboxes, cls = [], []

@@ -158,11 +158,20 @@ class DetectionValidator:
         return out
 
     def _letterbox_params(self, h0: int, w0: int):
-        """Val letterbox transform (scaleup=False), mirroring data/letterbox.py."""
-        r = min(self.imgsz / h0, self.imgsz / w0, 1.0)
-        pad_x = round((self.imgsz - w0 * r) / 2 - 0.1)
-        pad_y = round((self.imgsz - h0 * r) / 2 - 0.1)
-        return r, pad_x, pad_y
+        """Val preprocess transform, mirroring the reference composition:
+        base.load_image rect-resize (long side -> imgsz, CEIL dims, up- and
+        down-scaling) + LetterBox center pads. The returned gain is the
+        H-axis resize ratio applied to BOTH axes — exactly the reference's
+        scale_boxes with ratio_pad ((h1/h0, w1/w0), (left, top)), whose
+        gain = ratio_pad[0][0] (utils/ops.py:148)."""
+        import math
+
+        r0 = self.imgsz / max(h0, w0)
+        h1 = min(math.ceil(h0 * r0), self.imgsz) if r0 != 1 else h0
+        w1 = min(math.ceil(w0 * r0), self.imgsz) if r0 != 1 else w0
+        pad_x = round((self.imgsz - w1) / 2 - 0.1)
+        pad_y = round((self.imgsz - h1) / 2 - 0.1)
+        return h1 / h0, pad_x, pad_y
 
     @staticmethod
     def _to_original(boxes, r, pad_x, pad_y, w0, h0, clip: bool):
