@@ -30,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.layers import LayerNorm, Linear, PlainConv, conv2d
+
+
+def _gelu(x):
+    # torch nn.GELU default is the EXACT erf form; jax.nn.gelu defaults to the
+    # tanh approximation (~4e-4 divergence at unit scale)
+    return jax.nn.gelu(x, approximate=False)
 from ..nn.module import Context, Module, ModuleList, Params, trunc_normal
 
 
@@ -38,13 +44,14 @@ from ..nn.module import Context, Module, ModuleList, Params, trunc_normal
 # ---------------------------------------------------------------------------
 
 class _MLP(Module):
-    def __init__(self, c, hidden):
+    def __init__(self, c, hidden, act="gelu"):
         super().__init__()
         self.fc1 = Linear(c, hidden)
         self.fc2 = Linear(hidden, c)
+        self.act = _gelu if act == "gelu" else jax.nn.relu
 
     def __call__(self, p, x, ctx):
-        return self.fc2(p["fc2"], jax.nn.gelu(self.fc1(p["fc1"], x, ctx)), ctx)
+        return self.fc2(p["fc2"], self.act(self.fc1(p["fc1"], x, ctx)), ctx)
 
 
 def _window_partition(x, ws):
@@ -146,9 +153,9 @@ class ImageEncoderViT(Module):
             for i in range(depth)
         ])
         self.neck1 = PlainConv(dim, out_chans, 1)
-        self.neck_ln1 = LayerNorm(out_chans)
+        self.neck_ln1 = LayerNorm(out_chans, eps=1e-6)  # LayerNorm2d eps
         self.neck2 = PlainConv(out_chans, out_chans, 3)
-        self.neck_ln2 = LayerNorm(out_chans)
+        self.neck_ln2 = LayerNorm(out_chans, eps=1e-6)  # LayerNorm2d eps
 
     def init(self, key) -> Params:
         p = super().init(key)
@@ -180,6 +187,8 @@ class PromptEncoder(Module):
             PlainConv(mask_in_chans // 4, mask_in_chans, 2, s=2, p=0, bias=True),
             PlainConv(mask_in_chans, embed_dim, 1, bias=True),
         ])
+        # LayerNorm2d after each downscale conv (reference encoders.py:208-216)
+        self.mask_norms = ModuleList([LayerNorm(mask_in_chans // 4, eps=1e-6), LayerNorm(mask_in_chans, eps=1e-6)])
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, 8)
@@ -225,7 +234,7 @@ class PromptEncoder(Module):
             for i, conv in enumerate(self.mask_down):
                 m = conv(p["mask_down"][str(i)], m, ctx)
                 if i < 2:
-                    m = jax.nn.gelu(m)
+                    m = _gelu(self.mask_norms[i](p["mask_norms"][str(i)], m, ctx))
             dense = m
         else:
             h, w = self.size
@@ -272,14 +281,20 @@ class _TwoWayBlock(Module):
         self.norm1 = LayerNorm(dim)
         self.cross_t2i = _CrossAttn(dim, num_heads)
         self.norm2 = LayerNorm(dim)
-        self.mlp = _MLP(dim, mlp_dim)
+        self.mlp = _MLP(dim, mlp_dim, act="relu")  # TwoWayTransformer default is ReLU
         self.norm3 = LayerNorm(dim)
         self.cross_i2t = _CrossAttn(dim, num_heads)
         self.norm4 = LayerNorm(dim)
 
     def __call__(self, p, tokens, token_pe, img, img_pe, ctx):
-        q = tokens if self.skip_first_pe else tokens + token_pe
-        tokens = self.norm1(p["norm1"], tokens + self.self_attn(p["self_attn"], q, q, tokens, ctx), ctx)
+        if self.skip_first_pe:
+            # reference REPLACES queries on the first layer (no residual,
+            # transformer.py:198-199)
+            tokens = self.self_attn(p["self_attn"], tokens, tokens, tokens, ctx)
+        else:
+            q = tokens + token_pe
+            tokens = tokens + self.self_attn(p["self_attn"], q, q, tokens, ctx)
+        tokens = self.norm1(p["norm1"], tokens, ctx)
         tokens = self.norm2(
             p["norm2"], tokens + self.cross_t2i(p["cross_t2i"], tokens + token_pe, img + img_pe, img, ctx), ctx
         )
@@ -314,7 +329,7 @@ class MaskDecoder(Module):
         self.final_t2i = _CrossAttn(dim, num_heads)
         self.final_norm = LayerNorm(dim)
         # 4x upscaler: two stride-2 transposed convs (kernels in init)
-        self.ups_ln = LayerNorm(dim // 4)
+        self.ups_ln = LayerNorm(dim // 4, eps=1e-6)  # LayerNorm2d eps
         self.hyper = ModuleList([_HyperMLP(dim, dim, dim // 8) for _ in range(self.num_masks)])
         self.iou_head = _HyperMLP(dim, 256, self.num_masks)
 
@@ -326,6 +341,8 @@ class MaskDecoder(Module):
         # transposed-conv upscaler kernels (2x2 stride 2), HWOI->HWIO handled by conv_transpose
         p["upconv1"] = trunc_normal(k3, (2, 2, self.dim, self.dim // 4), std=0.02)
         p["upconv2"] = trunc_normal(jax.random.fold_in(k3, 1), (2, 2, self.dim // 4, self.dim // 8), std=0.02)
+        p["upconv1_b"] = jnp.zeros((self.dim // 4,), jnp.float32)
+        p["upconv2_b"] = jnp.zeros((self.dim // 8,), jnp.float32)
         return p
 
     def __call__(self, p, img_emb, img_pe, sparse_emb, dense_emb, ctx):
@@ -349,10 +366,14 @@ class MaskDecoder(Module):
         src = img.reshape(B, h, w, D)
         up = jax.lax.conv_transpose(src, p["upconv1"].astype(src.dtype), (2, 2), "SAME",
                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        up = jax.nn.gelu(self.ups_ln(p["ups_ln"], up, ctx))
+        if "upconv1_b" in p:
+            up = up + p["upconv1_b"].astype(up.dtype)
+        up = _gelu(self.ups_ln(p["ups_ln"], up, ctx))
         up = jax.lax.conv_transpose(up, p["upconv2"].astype(up.dtype), (2, 2), "SAME",
                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        up = jax.nn.gelu(up)  # [B,4h,4w,D/8]
+        if "upconv2_b" in p:
+            up = up + p["upconv2_b"].astype(up.dtype)
+        up = _gelu(up)  # [B,4h,4w,D/8]
 
         hyper = jnp.stack(
             [self.hyper[i](p["hyper"][str(i)], mask_toks[:, i], ctx) for i in range(self.num_masks)], 1
