@@ -243,6 +243,67 @@ def run_solutions(request: dict) -> dict:
     return response(request["skill"], "ok", f"{app} over {n_frames} frames", state=state)
 
 
+def run_lora_diagnose(request: dict) -> dict:
+    """LoRA placement diagnosis (reference yolo.lora.diagnose): plan the
+    adapter targets + parameter budget for a model without training."""
+    inputs = request.get("inputs", {})
+    params = request.get("params", {})
+    if request.get("dry_run"):
+        return plan_response(request, "diagnose LoRA placement", "peft.lora.plan_lora_targets")
+    from .peft.lora import LoRAConfig, init_lora, lora_param_count, plan_lora_targets
+
+    y = _yolo(inputs)
+    cfg = LoRAConfig(rank=int(params.get("rank", 8)), alpha=float(params.get("alpha", 16.0)))
+    targets = plan_lora_targets(y.params, cfg)
+    adapters = init_lora(y.params, cfg, targets)
+    return response(
+        request["skill"], "ok", f"{len(targets)} LoRA targets, {lora_param_count(adapters):,} adapter params",
+        targets=targets[:50], n_targets=len(targets), adapter_params=lora_param_count(adapters),
+        rank=cfg.rank,
+    )
+
+
+def run_peft_compare(request: dict) -> dict:
+    """PEFT-vs-full-finetune comparison (reference yolo.eval.peft_compare):
+    two short trainings on the same data, one with LoRA adapters, one full."""
+    inputs = request.get("inputs", {})
+    params = dict(request.get("params", {}))
+    if not inputs.get("data"):
+        raise ValueError("yolo.eval.peft_compare requires inputs.data")
+    if request.get("dry_run"):
+        return plan_response(request, "compare LoRA vs full finetune", "peft.controller + trainer")
+    epochs = int(params.pop("epochs", 2))
+    rank = int(params.pop("rank", 8))
+    rows = {}
+    for name, peft in (("full", None), ("lora", {"variant": "lora", "rank": rank})):
+        y = _yolo(inputs)
+        out = y.train(data=inputs["data"], epochs=epochs, peft=peft, **params)
+        rows[name] = {k: float(v) for k, v in out.items() if isinstance(v, (int, float))}
+    delta = rows["lora"].get("best_fitness", 0.0) - rows["full"].get("best_fitness", 0.0)
+    return response(request["skill"], "ok", f"lora-full fitness delta {delta:+.4f}",
+                    full=rows["full"], lora=rows["lora"], fitness_delta=delta)
+
+
+def run_multimodal_infer(request: dict) -> dict:
+    """Open-vocabulary inference (reference yolo.multimodal.infer): YOLOWorld
+    with a caller-supplied class vocabulary."""
+    inputs = request.get("inputs", {})
+    if not inputs.get("source"):
+        raise ValueError("yolo.multimodal.infer requires inputs.source")
+    classes = inputs.get("classes")
+    if not classes:
+        raise ValueError("yolo.multimodal.infer requires inputs.classes (prompt vocabulary)")
+    if request.get("dry_run"):
+        return plan_response(request, "open-vocab predict", "models.yolo.set_classes + predictor")
+    from .models.yolo import YOLO
+
+    y = YOLO(inputs.get("model", "yolo-master-world"), task=inputs.get("task", "world"))
+    y.set_classes(list(classes))
+    results = y.predict(inputs["source"], **request.get("params", {}))
+    rows = [{"path": r.path, "detections": len(r)} for r in results]
+    return response(request["skill"], "ok", f"{len(rows)} result(s) over {len(classes)} prompts", results=rows)
+
+
 HANDLERS: Dict[str, Callable[[dict], dict]] = {
     "yolo.system": run_system,
     "yolo.system.doctor": run_system,
@@ -258,6 +319,9 @@ HANDLERS: Dict[str, Callable[[dict], dict]] = {
     "yolo.moe.prune": run_moe_prune,
     "yolo.eval.sparse_sahi_compare": run_sahi_compare,
     "yolo.solutions.run": run_solutions,
+    "yolo.lora.diagnose": run_lora_diagnose,
+    "yolo.eval.peft_compare": run_peft_compare,
+    "yolo.multimodal.infer": run_multimodal_infer,
 }
 
 
@@ -276,6 +340,14 @@ def dispatch(request: dict) -> dict:
 
 def main(argv=None) -> int:
     import argparse
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "validate":
+        # validation suites (reference agent/runtime/cli/validate.py):
+        # python -m yolo_master_tpu.agent validate --suite contract
+        from .agent_validate import main as validate_main
+
+        return validate_main(argv[1:])
 
     parser = argparse.ArgumentParser(description="JSON skill dispatcher for yolo_master_tpu")
     parser.add_argument("--request", help="path to a JSON request file")
