@@ -152,6 +152,7 @@ def make_train_step(
     return_stats: bool = False,
     traced_moe_gain: bool = False,
     expert_axis: Optional[str] = None,
+    jit_compile: bool = True,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -259,6 +260,10 @@ def make_train_step(
         metrics["finite"] = finite.astype(jnp.float32)
         return new_state, metrics
 
+    if not jit_compile:
+        # raw traceable step for composition (e.g. bench.py's chained
+        # multi-step timing loop jits N steps in one graph)
+        return step
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
