@@ -446,5 +446,7 @@ class Results:
 
 
 def _class_color(c: int):
-    rng = np.random.default_rng(c + 3)
-    return tuple(int(v) for v in rng.integers(64, 255, 3))
+    # single palette source shared with solutions/demos (utils/annotator.py)
+    from ..utils.annotator import color
+
+    return color(c)

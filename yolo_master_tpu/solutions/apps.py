@@ -117,7 +117,20 @@ class TrackZone:
         ]
         kept = rows[np.asarray(keep, bool)] if len(rows) else rows
         self.in_zone_ids = {int(r[4]) for r in kept}
+        self._kept = kept
         return kept
+
+    def render(self, frame, tracks=None):
+        """Zone polygon + in-zone tracks via the shared annotator."""
+        from ..utils.annotator import Annotator
+
+        ann = Annotator(frame)
+        ann.polygon(self.zone, col=(0, 200, 255), fill_alpha=0.12)
+        rows = tracks if tracks is not None else getattr(self, "_kept", None)
+        if rows is not None and len(rows):
+            ann.tracks(rows)
+        ann.counts({"in zone": len(self.in_zone_ids)})
+        return ann.result()
 
 
 class ObjectBlurrer:

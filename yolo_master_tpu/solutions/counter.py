@@ -45,6 +45,18 @@ class ObjectCounter:
             self._last_side[tid] = side
         return {"in": self.in_count, "out": self.out_count, "per_class": self.per_class}
 
+    def render(self, frame, tracks=None):
+        """Draw the counting line, tracked boxes, and in/out totals onto a BGR
+        frame (reference object_counter display; shared utils/annotator.py)."""
+        from ..utils.annotator import Annotator
+
+        ann = Annotator(frame, names=self.names)
+        ann.line(self.line[0], self.line[1], col=(0, 255, 255))
+        if tracks is not None and len(tracks):
+            ann.tracks(tracks)
+        ann.counts({"in": self.in_count, "out": self.out_count})
+        return ann.result()
+
 
 class RegionCounter:
     """Counts objects currently inside polygonal regions."""

@@ -27,4 +27,16 @@ class QueueManager:
             else:
                 self._dwell.pop(tid, None)
         queued = [t for t in inside_ids if self._dwell.get(t, 0) >= self.min_frames]
+        self.count = len(queued)
         return {"count": len(queued), "ids": queued}
+
+    def render(self, frame, tracks=None):
+        """Region polygon + queue depth onto a BGR frame (shared annotator)."""
+        from ..utils.annotator import Annotator
+
+        ann = Annotator(frame)
+        ann.polygon(self.region.regions["queue"], col=(255, 160, 0), fill_alpha=0.15)
+        if tracks is not None and len(tracks):
+            ann.tracks(tracks)
+        ann.counts({"queue": getattr(self, "count", 0)})
+        return ann.result()

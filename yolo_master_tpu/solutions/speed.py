@@ -29,3 +29,17 @@ class SpeedEstimator:
                 self.speeds[tid] = self.smooth * old + (1 - self.smooth) * kmh
             self._last[tid] = center
         return dict(self.speeds)
+
+    def render(self, frame, tracks):
+        """Boxes labeled with smoothed speeds (km/h) via the shared annotator."""
+        import numpy as np
+
+        from ..utils.annotator import Annotator
+
+        ann = Annotator(frame)
+        for row in np.asarray(tracks).reshape(-1, 7):
+            tid = int(row[4])
+            spd = self.speeds.get(tid)
+            label = f"#{tid} {spd:.1f} km/h" if spd is not None else f"#{tid}"  # speeds already km/h
+            ann.box_label(row[:4], label, idx=tid)
+        return ann.result()
