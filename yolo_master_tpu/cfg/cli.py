@@ -32,12 +32,12 @@ BOOL_KEYS = {"save", "val", "resume", "amp", "cos_lr", "half", "agnostic_nms", "
              "single_cls", "plots", "albumentations"}
 
 
-def parse_value(key: str, value: str) -> Any:
-    if key in BOOL_KEYS:
+def parse_value(key: str, value: str, like: Any = None) -> Any:
+    if key in BOOL_KEYS or isinstance(like, bool):
         return value.lower() in ("1", "true", "yes")
-    if key in INT_KEYS:
+    if key in INT_KEYS or isinstance(like, int):
         return int(float(value))
-    if key in FLOAT_KEYS:
+    if key in FLOAT_KEYS or isinstance(like, float):
         return float(value)
     if value.lower() in ("none", "null", ""):
         return None
@@ -51,8 +51,22 @@ def parse_args(argv) -> Dict[str, Any]:
         if "=" in arg:
             key, value = arg.split("=", 1)
             if key not in cfg:
-                hint = difflib.get_close_matches(key, cfg.keys(), n=1)
-                raise SystemExit(f"unknown arg '{key}'" + (f" — did you mean '{hint[0]}'?" if hint else ""))
+                # reference-config reconciliation (cfg/compat.py): aliases
+                # translate, accepted keys merge, rejected keys error with
+                # the recorded reason — never a silent drop
+                from .compat import resolve_key
+
+                kind, info = resolve_key(key)
+                if kind == "alias":
+                    key = info
+                elif kind == "accepted":
+                    cfg[key] = parse_value(key, value, like=info)
+                    continue
+                elif kind == "rejected":
+                    raise SystemExit(f"'{key}' is not supported on the TPU path: {info}")
+                else:
+                    hint = difflib.get_close_matches(key, cfg.keys(), n=1)
+                    raise SystemExit(f"unknown arg '{key}'" + (f" — did you mean '{hint[0]}'?" if hint else ""))
             cfg[key] = parse_value(key, value)
         else:
             positional.append(arg)

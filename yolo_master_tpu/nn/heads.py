@@ -198,6 +198,19 @@ class Detect(Module):
         return jnp.concatenate([sel_boxes, final_scores[..., None], cls[..., None]], -1)
 
 
+class v10Detect(Detect):
+    """YOLOv10 NMS-free head (reference head.py:1763): dual-assignment
+    end2end Detect whose light DW cls branch IS this implementation's modern
+    (non-legacy) cv3 structure — Conv(x,x,3,g=x)+Conv(x,c3,1) twice + 1x1 —
+    so the subclass only pins end2end=True."""
+
+    def __init__(self, nc: int = 80, reg_max: int = 16, end2end: bool = True,
+                 ch: Sequence[int] = (), legacy: bool = False):
+        # end2end/legacy accepted for parse_model signature parity but pinned:
+        # v10Detect is end2end by definition with the light (modern) cls head
+        super().__init__(nc, reg_max=reg_max, end2end=True, ch=ch, legacy=False)
+
+
 class _HeadOut(Module):
     """Final 1x1 conv with bias (plain nn.Conv2d in the reference head)."""
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, find_model_yaml, guess_scale, make_divisible, yaml_load
-from .heads import OBB, Classify, Detect, Pose, Segment, SemanticSegment
+from .heads import OBB, Classify, Detect, Pose, Segment, SemanticSegment, v10Detect
 from .world import WorldDetect, YOLOEDetect
 from .layers import (
     AIFI,
@@ -94,6 +94,7 @@ MODULE_REGISTRY: Dict[str, type] = {
     "nn.Upsample": Upsample,
     "MaxPool": MaxPool,
     "Detect": Detect,
+    "v10Detect": v10Detect,
     "Segment": Segment,
     "Pose": Pose,
     "OBB": OBB,
@@ -149,7 +150,7 @@ MIXTURE_MODULES = {
     UltraOptimizedMoE, AdaptiveCapacityMoE, HyperUltimateMoE, UltimateOptimizedMoE,
     DyC2f, DyMoEBlock,
 }
-HEAD_MODULES = {Detect, Segment, Pose, OBB, WorldDetect, YOLOEDetect}
+HEAD_MODULES = {Detect, v10Detect, Segment, Pose, OBB, WorldDetect, YOLOEDetect}
 
 
 class LayerSpec:
