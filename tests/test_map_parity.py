@@ -137,11 +137,17 @@ def _stub_torchvision():
         return
     from ultralytics.utils.nms import TorchNMS
 
+    import importlib.machinery
+
     tv = types.ModuleType("torchvision")
     ops = types.ModuleType("torchvision.ops")
     ops.nms = lambda boxes, scores, iou_thres: TorchNMS.nms(boxes, scores, iou_thres)
     tv.ops = ops
     tv.__version__ = "0.19.0"
+    # a real ModuleSpec so later importlib.util.find_spec("torchvision")
+    # probes (e.g. transformers feature detection) don't raise
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+    ops.__spec__ = importlib.machinery.ModuleSpec("torchvision.ops", loader=None)
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
 

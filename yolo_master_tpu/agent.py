@@ -253,13 +253,13 @@ def run_lora_diagnose(request: dict) -> dict:
     from .peft.lora import LoRAConfig, init_lora, lora_param_count, plan_lora_targets
 
     y = _yolo(inputs)
-    cfg = LoRAConfig(rank=int(params.get("rank", 8)), alpha=float(params.get("alpha", 16.0)))
+    cfg = LoRAConfig(r=int(params.get("rank", 8)), alpha=float(params.get("alpha", 16.0)))
     targets = plan_lora_targets(y.params, cfg)
     adapters = init_lora(y.params, cfg, targets)
     return response(
         request["skill"], "ok", f"{len(targets)} LoRA targets, {lora_param_count(adapters):,} adapter params",
         targets=targets[:50], n_targets=len(targets), adapter_params=lora_param_count(adapters),
-        rank=cfg.rank,
+        rank=cfg.r,
     )
 
 

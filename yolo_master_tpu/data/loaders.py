@@ -178,7 +178,7 @@ class LoadScreenshots:
         parts = str(source).split()
         self.monitor_idx = int(parts[1]) if len(parts) > 1 else 1
 
-    def __iter__(self) -> Iterator[SourceFrame]:  # pragma: no cover
+    def __iter__(self) -> Iterator[SourceFrame]:
         import mss
 
         with mss.mss() as sct:
