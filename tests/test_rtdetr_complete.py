@@ -72,8 +72,10 @@ def test_cdn_group_structure():
 
     nd = dn["cls"].shape[1]
     assert nd % (2 * m) == 0
-    # padded GT slots carry the no-object class (nc)
-    assert int(dn["cls"][1, 1]) == 2
+    # padded GT slots carry class 0 (the embedding has nc rows like the
+    # reference nn.Embedding(nc, hd)) and are masked out of the loss
+    assert int(dn["cls"][1, 1]) == 0
+    assert not bool(dn["pos_mask"][1, 1])
     # positives only on valid, even-group slots
     assert bool(dn["pos_mask"][0, 0]) and not bool(dn["pos_mask"][0, m])  # slot m = group 0 negative
     # attention mask: real queries cannot see dn queries

@@ -5,8 +5,10 @@ TPU-native build of the decoder head + training stack:
   * multi-scale features -> 1x1 input projections -> flattened token memory
   * two-stage query selection: encoder score head picks top-nq anchors, whose
     encoded features + anchor boxes initialize the decoder queries
-  * ndl deformable-attention decoder layers (single-value-scale sampling via
-    the explicit bilinear gather from nn/mot.py) with iterative box refinement
+  * ndl multi-scale deformable-attention decoder layers (head-batched
+    bilinear gathers over every level, grid_sample align_corners=False
+    semantics) with iterative box refinement — weight-import parity with the
+    torch reference decoder (tests/test_rtdetr_parity.py)
   * bipartite matching fully in-graph: focal+L1+GIoU cost matrix + greedy
     conflict-free assignment (the axon PJRT runtime has no host callbacks, so
     scipy Hungarian cannot live in the step; with nq >> #GT greedy is
@@ -25,9 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.layers import Conv, ConvSeq, LayerNorm, Linear, PlainConv, silu
+from ..nn.layers import BatchNorm, Conv, ConvSeq, LayerNorm, Linear, PlainConv, TorchMHA, silu
 from ..nn.module import Context, Module, ModuleList, Params
-from ..nn.mot import _GELU, bilinear_sample, sdpa
+from ..nn.mot import bilinear_sample
 from ..ops.boxes import bbox_iou, xywh2xyxy
 
 
@@ -52,81 +54,123 @@ class MLP(Module):
         return x
 
 
-class DeformableDecoderLayer(Module):
-    """Self-attention + single-scale deformable cross-attention + FFN
-    (reference nn/modules/transformer.py DeformableTransformerDecoderLayer,
-    cross-attention sampling via explicit bilinear gather)."""
+class MSDeformAttn(Module):
+    """Multi-scale deformable attention (reference transformer.py:462
+    MSDeformAttn + utils.py:150 multi_scale_deformable_attn_pytorch), recast
+    as head-batched bilinear gathers: one explicit gather per level with the
+    heads folded into the batch axis, instead of grid_sample over a
+    [bs*heads, C, H, W] view. Param names (sampling_offsets /
+    attention_weights / value_proj / output_proj) mirror the torch module so
+    reference checkpoints import mechanically."""
 
-    def __init__(self, d_model=256, n_heads=8, d_ffn=1024, n_points=4):
+    def __init__(self, d_model=256, n_levels=3, n_heads=8, n_points=4):
         super().__init__()
-        self.nh, self.hd = n_heads, d_model // n_heads
-        self.np = n_points
-        self.d = d_model
-        self.self_q = Linear(d_model, d_model)
-        self.self_k = Linear(d_model, d_model)
-        self.self_v = Linear(d_model, d_model)
-        self.self_o = Linear(d_model, d_model)
-        self.norm1 = LayerNorm(d_model)
-        # deformable cross attention
-        self.offset_proj = Linear(d_model, n_heads * n_points * 2)
-        self.attn_proj = Linear(d_model, n_heads * n_points)
+        self.d, self.nl, self.nh, self.npt = d_model, n_levels, n_heads, n_points
+        self.hd = d_model // n_heads
+        self.sampling_offsets = Linear(d_model, n_heads * n_levels * n_points * 2)
+        self.attention_weights = Linear(d_model, n_heads * n_levels * n_points)
         self.value_proj = Linear(d_model, d_model)
-        self.out_proj = Linear(d_model, d_model)
-        self.norm2 = LayerNorm(d_model)
-        self.ffn = ConvSeq(Linear(d_model, d_ffn), _GELU(), Linear(d_ffn, d_model))
-        self.norm3 = LayerNorm(d_model)
+        self.output_proj = Linear(d_model, d_model)
 
     def init(self, key) -> Params:
         p = super().init(key)
-        p["offset_proj"]["w"] = jnp.zeros_like(p["offset_proj"]["w"])
-        p["offset_proj"]["b"] = jnp.zeros_like(p["offset_proj"]["b"])
-        p["attn_proj"]["w"] = jnp.zeros_like(p["attn_proj"]["w"])
-        p["attn_proj"]["b"] = jnp.zeros_like(p["attn_proj"]["b"])
+        # reference _reset_parameters (transformer.py:513): zero offset
+        # weights with a directional ring bias (head h points at angle
+        # 2*pi*h/nh, point i at radius i+1); zero attention weights
+        p["sampling_offsets"]["w"] = jnp.zeros_like(p["sampling_offsets"]["w"])
+        thetas = jnp.arange(self.nh, dtype=jnp.float32) * (2.0 * math.pi / self.nh)
+        grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)  # [nh, 2]
+        grid = grid / jnp.max(jnp.abs(grid), -1, keepdims=True)
+        grid = jnp.tile(grid[:, None, None, :], (1, self.nl, self.npt, 1))
+        grid = grid * (jnp.arange(self.npt, dtype=jnp.float32) + 1.0)[None, None, :, None]
+        p["sampling_offsets"]["b"] = grid.reshape(-1)
+        p["attention_weights"]["w"] = jnp.zeros_like(p["attention_weights"]["w"])
+        p["attention_weights"]["b"] = jnp.zeros_like(p["attention_weights"]["b"])
+        p["value_proj"]["b"] = jnp.zeros_like(p["value_proj"]["b"])
+        p["output_proj"]["b"] = jnp.zeros_like(p["output_proj"]["b"])
         return p
 
-    def __call__(self, p, q, memory_map, ref_points, qpos, ctx, attn_mask=None):
-        """q [B,nq,D]; memory_map [B,H,W,D] (finest scale); ref_points [B,nq,2]
-        normalized centers; qpos [B,nq,D]; attn_mask [nq,nq] additive bias
-        (CDN group isolation, reference get_cdn_group attn_mask)."""
-        B, nq, D = q.shape
-        H, W = memory_map.shape[1:3]
-        # self attention
-        qk = q + qpos
-        def heads(t):
-            return t.reshape(B, nq, self.nh, self.hd).transpose(0, 2, 1, 3)
-        sa = sdpa(heads(self.self_q(p["self_q"], qk, ctx)), heads(self.self_k(p["self_k"], qk, ctx)),
-                  heads(self.self_v(p["self_v"], q, ctx)), self.hd**-0.5, mask=attn_mask)
-        sa = sa.transpose(0, 2, 1, 3).reshape(B, nq, D)
-        q = self.norm1(p["norm1"], q + self.self_o(p["self_o"], sa, ctx), ctx)
+    def __call__(self, p, query, refer_bbox, value_maps, ctx):
+        """query [B,nq,D]; refer_bbox [B,nq,4] normalized xywh (the 4-coord
+        reference path: offsets scale with the box wh); value_maps: list of
+        [B,Hl,Wl,D] per-level maps."""
+        B, nq, D = query.shape
+        qf = query.astype(jnp.float32)
+        off = self.sampling_offsets(p["sampling_offsets"], qf, ctx).reshape(B, nq, self.nh, self.nl * self.npt, 2)
+        aw = self.attention_weights(p["attention_weights"], qf, ctx).reshape(B, nq, self.nh, self.nl * self.npt)
+        aw = jax.nn.softmax(aw, -1)  # joint softmax over (levels x points)
+        rb = refer_bbox.astype(jnp.float32)[:, :, None, None, :]  # [B,nq,1,1,4]
+        # sampling_locations = ref_xy + off / n_points * ref_wh * 0.5
+        loc = rb[..., :2] + off / self.npt * rb[..., 2:] * 0.5  # [B,nq,nh,nl*npt,2]
 
-        # deformable cross attention on the value-projected memory
-        v = self.value_proj(p["value_proj"], memory_map, ctx)  # [B,H,W,D]
-        offsets = jnp.tanh(self.offset_proj(p["offset_proj"], q + qpos, ctx).astype(jnp.float32))
-        offsets = offsets.reshape(B, nq, self.nh, self.np, 2)
-        attn_w = jax.nn.softmax(self.attn_proj(p["attn_proj"], q + qpos, ctx).astype(jnp.float32).reshape(B, nq, self.nh, self.np), -1)
-        ref_x = ref_points[..., 0:1, None] * (W - 1)  # [B,nq,1,1]
-        ref_y = ref_points[..., 1:2, None] * (H - 1)
-        sx = ref_x + offsets[..., 0] * (W - 1) * 0.1
-        sy = ref_y + offsets[..., 1] * (H - 1) * 0.1
-        vh = v.reshape(B, H, W, self.nh, self.hd)
-        out = jnp.zeros((B, nq, self.nh, self.hd), jnp.float32)
-        for h in range(self.nh):
-            samples = bilinear_sample(vh[..., h, :], sx[:, :, h], sy[:, :, h])  # [B,nq,np,hd]
-            out = out.at[:, :, h].set(jnp.sum(samples.astype(jnp.float32) * attn_w[:, :, h][..., None], 2))
-        ca = self.out_proj(p["out_proj"], out.reshape(B, nq, D).astype(q.dtype), ctx)
-        q = self.norm2(p["norm2"], q + ca, ctx)
-        return self.norm3(p["norm3"], q + self.ffn(p["ffn"], q, ctx), ctx)
+        samples = []
+        for lvl, vm in enumerate(value_maps):
+            H, W = vm.shape[1:3]
+            v = self.value_proj(p["value_proj"], vm, ctx)  # [B,H,W,D]
+            # heads -> batch: [B*nh, H, W, hd]
+            vh = v.reshape(B, H, W, self.nh, self.hd).transpose(0, 3, 1, 2, 4).reshape(B * self.nh, H, W, self.hd)
+            ll = loc[:, :, :, lvl * self.npt : (lvl + 1) * self.npt]  # [B,nq,nh,npt,2]
+            # grid_sample(align_corners=False) pixel mapping: x = loc*W - 0.5
+            sx = (ll[..., 0] * W - 0.5).transpose(0, 2, 1, 3).reshape(B * self.nh, nq, self.npt)
+            sy = (ll[..., 1] * H - 0.5).transpose(0, 2, 1, 3).reshape(B * self.nh, nq, self.npt)
+            s = bilinear_sample(vh, sx, sy)  # [B*nh, nq, npt, hd] zero-padded
+            samples.append(s.reshape(B, self.nh, nq, self.npt, self.hd).transpose(0, 2, 1, 3, 4))
+        sampled = jnp.concatenate(samples, 3)  # [B, nq, nh, nl*npt, hd]
+        out = jnp.sum(sampled.astype(jnp.float32) * aw[..., None], 3)  # [B,nq,nh,hd]
+        return self.output_proj(p["output_proj"], out.reshape(B, nq, D).astype(query.dtype), ctx)
+
+
+class DeformableDecoderLayer(Module):
+    """Self-attention + multi-scale deformable cross-attention + ReLU FFN
+    (reference transformer.py:588 DeformableTransformerDecoderLayer,
+    post-norm residuals; dropout=0 in the reference config)."""
+
+    def __init__(self, d_model=256, n_heads=8, d_ffn=1024, n_levels=3, n_points=4):
+        super().__init__()
+        self.self_attn = TorchMHA(d_model, n_heads)
+        self.norm1 = LayerNorm(d_model)
+        self.cross_attn = MSDeformAttn(d_model, n_levels, n_heads, n_points)
+        self.norm2 = LayerNorm(d_model)
+        self.linear1 = Linear(d_model, d_ffn)
+        self.linear2 = Linear(d_ffn, d_model)
+        self.norm3 = LayerNorm(d_model)
+
+    def __call__(self, p, embed, refer_bbox, value_maps, qpos, ctx, attn_mask=None):
+        """embed [B,nq,D]; refer_bbox [B,nq,4] normalized xywh sigmoid-space;
+        qpos [B,nq,D]; attn_mask [nq,nq] additive fp32 (CDN group isolation)."""
+        q = embed + qpos
+        sa = self.self_attn(p["self_attn"], q, q, embed, ctx, mask=attn_mask)
+        embed = self.norm1(p["norm1"], embed + sa, ctx)
+        ca = self.cross_attn(p["cross_attn"], embed + qpos, refer_bbox, value_maps, ctx)
+        embed = self.norm2(p["norm2"], embed + ca, ctx)
+        ff = self.linear2(p["linear2"], jax.nn.relu(self.linear1(p["linear1"], embed, ctx)), ctx)
+        return self.norm3(p["norm3"], embed + ff, ctx)
+
+
+class _DeformableDecoder(Module):
+    """Container matching the torch ``decoder.layers.{i}`` key prefix
+    (reference transformer.py:715 DeformableTransformerDecoder); the refine
+    loop itself lives in RTDETRDecoder.__call__."""
+
+    def __init__(self, layers):
+        super().__init__()
+        self.layers = ModuleList(layers)
 
 
 class RTDETRDecoder(Module):
-    """RT-DETR decoder head over [P3, P4, P5] features (reference head.py:1419)."""
+    """RT-DETR decoder head over [P3, P4, P5] features (reference
+    head.py:1419). Structure, math and param naming mirror the torch module
+    exactly (verified by weight-import parity, tests/test_rtdetr_parity.py):
+    BN input projections, inf-masked logit-space anchor proposals, two-stage
+    top-nq query selection, and ndl multi-scale deformable refine layers with
+    the reference's look-forward-twice box recording in training."""
 
     def __init__(self, nc=80, ch=(256, 512, 1024), hd=256, nq=300, ndp=4, nh=8, ndl=6, d_ffn=1024):
         super().__init__()
         self.nc, self.nq, self.ndl, self.hd = nc, nq, ndl, hd
         self.nl = len(ch)
-        self.input_proj = ModuleList([ConvSeq(PlainConv(c, hd, 1), LayerNorm(hd)) for c in ch])
-        self.layers = ModuleList([DeformableDecoderLayer(hd, nh, d_ffn, ndp) for _ in range(ndl)])
+        self.input_proj = ModuleList([ConvSeq(PlainConv(c, hd, 1, bias=False), BatchNorm(hd)) for c in ch])
+        self.decoder = _DeformableDecoder([DeformableDecoderLayer(hd, nh, d_ffn, self.nl, ndp) for _ in range(ndl)])
         self.query_pos_head = MLP(4, 2 * hd, hd, 2)
         self.enc_output = ConvSeq(Linear(hd, hd), LayerNorm(hd))
         self.enc_score_head = Linear(hd, nc)
@@ -140,26 +184,40 @@ class RTDETRDecoder(Module):
 
     def init(self, key) -> Params:
         p = super().init(key)
-        bias = float(-math.log((1 - 0.01) / 0.01))  # focal init prior
+        # reference _reset_parameters (head.py:1738): focal prior scaled by
+        # nc/80 on the score heads; zeroed last bbox-MLP layers
+        bias = float(-math.log((1 - 0.01) / 0.01)) / 80 * self.nc
         p["enc_score_head"]["b"] = jnp.full_like(p["enc_score_head"]["b"], bias)
+        last = str(2)  # 3-layer bbox MLPs
+        p["enc_bbox_head"]["layers"][last]["w"] = jnp.zeros_like(p["enc_bbox_head"]["layers"][last]["w"])
+        p["enc_bbox_head"]["layers"][last]["b"] = jnp.zeros_like(p["enc_bbox_head"]["layers"][last]["b"])
         for i in range(self.ndl):
             p["dec_score_head"][str(i)]["b"] = jnp.full_like(p["dec_score_head"][str(i)]["b"], bias)
+            bb = p["dec_bbox_head"][str(i)]["layers"][last]
+            bb["w"] = jnp.zeros_like(bb["w"])
+            bb["b"] = jnp.zeros_like(bb["b"])
         # class embedding for contrastive-denoising queries (reference
-        # RTDETRDecoder denoising_class_embed; nc+1 rows, last = "no object")
+        # denoising_class_embed, nn.Embedding(nc, hd); padded dn slots carry
+        # class 0 and are masked out of the loss)
         from ..nn.module import trunc_normal
 
-        p["denoising_class_embed"] = trunc_normal(jax.random.PRNGKey(11), (self.nc + 1, self.hd), std=0.02)
+        p["denoising_class_embed"] = {"weight": trunc_normal(jax.random.PRNGKey(11), (self.nc, self.hd), std=0.02)}
         return p
 
-    def _anchors(self, shapes):
-        """Normalized anchor proposals per token (reference _generate_anchors)."""
+    def _anchors(self, shapes, grid_size=0.05, eps=1e-2):
+        """Logit-space anchor proposals + validity mask (reference
+        _generate_anchors, head.py:1614): per-level wh = grid_size * 2^i,
+        anchors outside (eps, 1-eps) masked to +inf."""
         anchors = []
-        for (h, w) in shapes:
+        for i, (h, w) in enumerate(shapes):
             gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
             xy = jnp.stack([(gx + 0.5) / w, (gy + 0.5) / h], -1).reshape(-1, 2)
-            wh = jnp.full((h * w, 2), 0.05)
+            wh = jnp.full((h * w, 2), grid_size * 2.0**i, jnp.float32)
             anchors.append(jnp.concatenate([xy, wh], -1))
-        return jnp.concatenate(anchors, 0)  # [T, 4] normalized xywh
+        a = jnp.concatenate(anchors, 0)  # [T, 4] normalized xywh
+        valid = jnp.all((a > eps) & (a < 1 - eps), -1, keepdims=True)  # [T,1]
+        a = jnp.log(a / (1 - a))
+        return jnp.where(valid, a, jnp.inf), valid.astype(jnp.float32)
 
     def __call__(self, p, feats: List[jnp.ndarray], ctx: Context, dn: Optional[dict] = None):
         """dn (training only): contrastive-denoising group — dict with
@@ -174,22 +232,27 @@ class RTDETRDecoder(Module):
             tokens.append(t.reshape(B, -1, self.hd))
         memory = jnp.concatenate(tokens, 1)  # [B, T, D]
 
-        anchors = self._anchors(shapes)  # [T, 4]
-        enc_feat = self.enc_output(p["enc_output"], memory, ctx)
-        enc_scores = self.enc_score_head(p["enc_score_head"], enc_feat, ctx)  # [B,T,nc]
-        enc_boxes = jax.nn.sigmoid(
-            self.enc_bbox_head(p["enc_bbox_head"], enc_feat, ctx).astype(jnp.float32)
-            + inverse_sigmoid(anchors)[None]
-        )  # [B,T,4]
+        anchors, valid = self._anchors(shapes)  # [T,4] logit-space, [T,1]
+        enc_feat = self.enc_output(p["enc_output"], memory * valid[None].astype(memory.dtype), ctx)
+        enc_scores_all = self.enc_score_head(p["enc_score_head"], enc_feat, ctx)  # [B,T,nc]
 
         # two-stage top-nq query selection by encoder confidence (clamped to
         # the token count for tiny eval inputs, like the reference's export k)
-        conf = jnp.max(enc_scores.astype(jnp.float32), -1)
+        conf = jnp.max(enc_scores_all.astype(jnp.float32), -1)
         nq = min(self.nq, conf.shape[1])
         _, top_idx = jax.lax.top_k(conf, nq)  # [B,nq]
-        q = jnp.take_along_axis(jax.lax.stop_gradient(enc_feat), top_idx[..., None], 1)
-        ref_boxes = jnp.take_along_axis(enc_boxes, top_idx[..., None], 1)  # [B,nq,4]
-        ref_boxes = jax.lax.stop_gradient(ref_boxes)
+        top_feat = jnp.take_along_axis(enc_feat, top_idx[..., None], 1)  # [B,nq,D]
+        top_anchor = anchors[top_idx]  # [B,nq,4]
+        # dynamic anchors + static content (logit space)
+        ref_logit = (
+            self.enc_bbox_head(p["enc_bbox_head"], top_feat, ctx).astype(jnp.float32) + top_anchor
+        )
+        enc_boxes = jax.nn.sigmoid(ref_logit)  # [B,nq,4]
+        enc_scores = jnp.take_along_axis(enc_scores_all, top_idx[..., None], 1)  # [B,nq,nc]
+        q = top_feat
+        if ctx.training:
+            ref_logit = jax.lax.stop_gradient(ref_logit)
+            q = jax.lax.stop_gradient(q)
 
         nd = 0
         attn_mask = None
@@ -206,24 +269,41 @@ class RTDETRDecoder(Module):
             dn_meta = dn
         if dn is not None:
             nd = dn["cls"].shape[1]
-            dn_embed = p["denoising_class_embed"][dn["cls"]].astype(q.dtype)  # [B,nd,hd]
+            dn_embed = p["denoising_class_embed"]["weight"][dn["cls"]].astype(q.dtype)  # [B,nd,hd]
             q = jnp.concatenate([dn_embed, q], 1)
-            ref_boxes = jnp.concatenate([dn["boxes"].astype(jnp.float32), ref_boxes], 1)
+            ref_logit = jnp.concatenate(
+                [inverse_sigmoid(dn["boxes"].astype(jnp.float32), eps=1e-6), ref_logit], 1
+            )
             attn_mask = dn["attn_mask"]
 
+        # refine loop (reference DeformableTransformerDecoder.forward,
+        # transformer.py:746): training records every layer with the
+        # look-forward-twice box chain; eval computes only the last layer
+        ref_boxes = jax.nn.sigmoid(ref_logit)
         dec_scores, dec_boxes = [], []
-        mem_map = proj_maps[-1]  # finest-context scale for deformable sampling
-        for i, layer in enumerate(self.layers):
+        last_refined = None
+        layers = self.decoder.layers
+        for i, layer in enumerate(layers):
             qpos = self.query_pos_head(p["query_pos_head"], ref_boxes.astype(q.dtype), ctx)
-            q = layer(p["layers"][str(i)], q, mem_map, ref_boxes[..., :2], qpos, ctx, attn_mask=attn_mask)
+            q = layer(p["decoder"]["layers"][str(i)], q, ref_boxes, proj_maps, qpos, ctx, attn_mask=attn_mask)
             delta = self.dec_bbox_head[i](p["dec_bbox_head"][str(i)], q, ctx).astype(jnp.float32)
-            ref_boxes = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))
-            dec_boxes.append(ref_boxes)
-            dec_scores.append(self.dec_score_head[i](p["dec_score_head"][str(i)], q, ctx))
-            ref_boxes = jax.lax.stop_gradient(ref_boxes)
+            refined = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))
+            if ctx.training:
+                dec_scores.append(self.dec_score_head[i](p["dec_score_head"][str(i)], q, ctx))
+                if i == 0:
+                    dec_boxes.append(refined)
+                else:
+                    dec_boxes.append(jax.nn.sigmoid(delta + inverse_sigmoid(last_refined)))
+                last_refined = refined
+                ref_boxes = jax.lax.stop_gradient(refined)
+            elif i == len(layers) - 1:
+                dec_scores.append(self.dec_score_head[i](p["dec_score_head"][str(i)], q, ctx))
+                dec_boxes.append(refined)
+            else:
+                ref_boxes = refined
 
-        all_boxes = jnp.stack(dec_boxes)  # [ndl, B, nd+nq, 4] normalized xywh
-        all_scores = jnp.stack(dec_scores)  # [ndl, B, nd+nq, nc]
+        all_boxes = jnp.stack(dec_boxes)  # [ndl|1, B, nd+nq, 4] normalized xywh
+        all_scores = jnp.stack(dec_scores)  # [ndl|1, B, nd+nq, nc]
         out = {
             "dec_boxes": all_boxes[:, :, nd:],
             "dec_scores": all_scores[:, :, nd:],
@@ -306,8 +386,8 @@ def detr_loss_single(pred_boxes, pred_scores, gt_boxes, gt_cls, pred_idx, gt_idx
 # Contrastive denoising (reference models/utils/ops.py:187 get_cdn_group):
 # noised copies of the GT prepended as extra decoder queries, isolated from
 # the real queries (and from other denoising groups) by an attention mask.
-# Static shapes: groups are sized by max_gt, padded slots carry class nc
-# ("no object") and are masked out of the loss.
+# Static shapes: groups are sized by max_gt, padded slots carry class 0
+# and are masked out of the loss via pos_mask.
 # ---------------------------------------------------------------------------
 
 def get_cdn_group(gt_boxes, gt_cls, gt_mask, nc: int, nq: int, imgsz, key,
@@ -356,7 +436,9 @@ def get_cdn_group(gt_boxes, gt_cls, gt_mask, nc: int, nq: int, imgsz, key,
     flip = jax.random.uniform(k3, cls_t.shape) < (cls_noise_ratio * 0.5)
     rand_cls = jax.random.randint(jax.random.fold_in(k3, 1), cls_t.shape, 0, max(nc, 1))
     noised_cls = jnp.where(flip & mask_t, rand_cls, cls_t)
-    noised_cls = jnp.where(mask_t, noised_cls, nc)  # padded slots -> "no object"
+    # padded slots -> class 0 (the embedding has nc rows like the reference's
+    # nn.Embedding(nc, hd); pads are excluded from the loss via pos_mask)
+    noised_cls = jnp.where(mask_t, noised_cls, 0)
 
     dn_cls = noised_cls.reshape(B, nd)
     dn_boxes = noised.reshape(B, nd, 4)

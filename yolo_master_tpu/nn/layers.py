@@ -831,50 +831,85 @@ class HGBlock(Module):
         return y + x if self.add else y
 
 
+class TorchMHA(Module):
+    """Multi-head attention with the torch ``nn.MultiheadAttention`` param
+    layout — leaves ``in_proj_weight`` [D,3D], ``in_proj_bias`` [3D] and an
+    ``out_proj`` Linear — so reference checkpoints import mechanically
+    (reference transformer.py TransformerEncoderLayer.ma and
+    DeformableTransformerDecoderLayer.self_attn)."""
+
+    def __init__(self, d, num_heads):
+        super().__init__()
+        self.d, self.nh, self.hd = d, num_heads, d // num_heads
+        self.out_proj = Linear(d, d)
+
+    def init(self, key) -> Params:
+        p = super().init(key)
+        k1, _ = jax.random.split(key)
+        # torch init: xavier_uniform in_proj, zero biases
+        bound = math.sqrt(6.0 / (self.d + 3 * self.d))
+        p["in_proj_weight"] = jax.random.uniform(k1, (self.d, 3 * self.d), jnp.float32, -bound, bound)
+        p["in_proj_bias"] = jnp.zeros((3 * self.d,), jnp.float32)
+        p["out_proj"]["b"] = jnp.zeros_like(p["out_proj"]["b"])
+        return p
+
+    def __call__(self, p, q, k, v, ctx, mask=None):
+        """q/k/v: [B, N, D] / [B, M, D]. mask: additive [N, M] fp32 bias."""
+        B, N, D = q.shape
+        w = p["in_proj_weight"].astype(q.dtype)
+        b = p["in_proj_bias"].astype(q.dtype)
+
+        def heads(t):
+            return t.reshape(B, -1, self.nh, self.hd).transpose(0, 2, 1, 3)
+
+        qh = heads(q @ w[:, :D] + b[:D])
+        kh = heads(k @ w[:, D : 2 * D] + b[D : 2 * D])
+        vh = heads(v @ w[:, 2 * D :] + b[2 * D :])
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh * self.hd**-0.5, kh, preferred_element_type=jnp.float32)
+        if mask is not None:
+            attn = attn + mask
+        attn = jax.nn.softmax(attn, -1).astype(vh.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh).transpose(0, 2, 1, 3).reshape(B, N, D)
+        return self.out_proj(p["out_proj"], out, ctx)
+
+
 class AIFI(Module):
-    """Attention-based Intra-scale Feature Interaction: one transformer
-    encoder layer with 2D sincos position embedding over the P5 map
-    (reference transformer.py AIFI)."""
+    """Attention-based Intra-scale Feature Interaction: one post-norm
+    transformer encoder layer with 2D sincos position embedding over the P5
+    map (reference transformer.py AIFI / TransformerEncoderLayer). Param
+    names mirror the torch module (ma/fc1/fc2/norm1/norm2) for checkpoint
+    import."""
 
     def __init__(self, c1, cm=2048, num_heads=8):
         super().__init__()
         self.c, self.nh = c1, num_heads
-        self.hd = c1 // num_heads
-        self.q = Linear(c1, c1)
-        self.k = Linear(c1, c1)
-        self.v = Linear(c1, c1)
-        self.o = Linear(c1, c1)
-        self.norm1 = LayerNorm(c1)
+        self.ma = TorchMHA(c1, num_heads)
         self.fc1 = Linear(c1, cm)
         self.fc2 = Linear(cm, c1)
+        self.norm1 = LayerNorm(c1)
         self.norm2 = LayerNorm(c1)
 
     @staticmethod
     def pos_embed_2d(h, w, dim, temperature=10000.0):
-        """[h*w, dim] 2D sine-cosine position embedding (reference
-        build_2d_sincos_position_embedding)."""
-        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        """[h*w, dim] 2D sine-cosine position embedding, replicating the
+        reference bit-for-bit (build_2d_sincos_position_embedding,
+        transformer.py:214-244) — including its w-major flatten of the
+        (w, h) meshgrid, which pairs pos rows with h-major tokens in the
+        reference's own order."""
+        gw, gh = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32), indexing="ij")
         pos_dim = dim // 4
         omega = 1.0 / temperature ** (jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim)
-        out_x = gx.reshape(-1)[:, None] * omega[None]
-        out_y = gy.reshape(-1)[:, None] * omega[None]
-        return jnp.concatenate([jnp.sin(out_x), jnp.cos(out_x), jnp.sin(out_y), jnp.cos(out_y)], -1)
+        out_w = gw.reshape(-1)[:, None] * omega[None]
+        out_h = gh.reshape(-1)[:, None] * omega[None]
+        return jnp.concatenate([jnp.sin(out_w), jnp.cos(out_w), jnp.sin(out_h), jnp.cos(out_h)], -1)
 
     def __call__(self, p, x, ctx):
         B, H, W, C = x.shape
         t = x.reshape(B, H * W, C)
         pe = self.pos_embed_2d(H, W, C).astype(t.dtype)[None]
         qk = t + pe
-
-        def heads(z):
-            return z.reshape(B, -1, self.nh, self.hd).transpose(0, 2, 1, 3)
-
-        q = heads(self.q(p["q"], qk, ctx))
-        k = heads(self.k(p["k"], qk, ctx))
-        v = heads(self.v(p["v"], t, ctx))
-        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * self.hd**-0.5, k, preferred_element_type=jnp.float32), -1)
-        sa = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v).transpose(0, 2, 1, 3).reshape(B, -1, C)
-        t = self.norm1(p["norm1"], t + self.o(p["o"], sa, ctx), ctx)
+        sa = self.ma(p["ma"], qk, qk, t, ctx)
+        t = self.norm1(p["norm1"], t + sa, ctx)
         ff = self.fc2(p["fc2"], jax.nn.gelu(self.fc1(p["fc1"], t, ctx)), ctx)
         t = self.norm2(p["norm2"], t + ff, ctx)
         return t.reshape(B, H, W, C)

@@ -48,13 +48,18 @@ def _torch_key(path: list[str]) -> list[str]:
     i = 0
     while i < len(path):
         seg = path[i]
-        if seg == "layers":
+        if seg == "layers" and i == 0:
+            # only the ROOT container renames (our "layers" <-> torch "model");
+            # nested "layers" (e.g. MLP.layers in the RT-DETR decoder heads)
+            # keep their torch name verbatim
             parts.append("model")
         elif seg == "norm_bn":
             parts.extend(["norm", "0"])
-        elif seg == "fc1":
+        elif seg == "fc1" and parts and parts[-1] == "routing":
+            # ES_MOE router only (torch routing.routing_network.{0,2});
+            # plain fc1/fc2 elsewhere (e.g. AIFI) keep their names
             parts.extend(["routing_network", "0"])
-        elif seg == "fc2":
+        elif seg == "fc2" and parts and parts[-1] == "routing":
             parts.extend(["routing_network", "2"])
         elif seg in _SEQ_SHIFT and i + 1 < len(path) and path[i + 1].isdigit():
             parts.append(seg)
@@ -78,15 +83,21 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
     sd = {k: v for k, v in state_dict.items()}
     used = set()
 
-    def convert(template_leaf: np.ndarray, value: np.ndarray, leaf_name: str) -> np.ndarray:
+    def convert(template_leaf: np.ndarray, value: np.ndarray, leaf_name: str, ours: str) -> np.ndarray:
         v = _to_numpy(value).astype(np.float32)
         t_shape = tuple(template_leaf.shape)
         if v.ndim == 4 and len(t_shape) == 4:
             v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         elif v.ndim == 4 and len(t_shape) == 2:
             v = v.reshape(v.shape[0], v.shape[1]).T  # 1x1 conv -> matrix [in, out]
+        elif v.ndim == 2 and len(t_shape) == 2 and ours == "w":
+            # our "w" 2D leaves are ALWAYS matmul-layout [in, out]; torch
+            # nn.Linear stores [out, in]. Transpose unconditionally — the
+            # shape-differs heuristic silently skips square matrices (the
+            # RT-DETR decoder's value/output projections are square).
+            v = v.T
         elif v.ndim == 2 and len(t_shape) == 2 and v.shape != t_shape:
-            v = v.T  # linear [out,in] -> [in,out]
+            v = v.T  # linear [out,in] -> [in,out] (non-"w" leaves, by shape)
         if tuple(v.shape) != t_shape:
             raise ValueError(f"shape mismatch for leaf {leaf_name}: torch {v.shape} vs ours {t_shape}")
         return v
@@ -102,7 +113,7 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
                 raise KeyError(f"missing torch key '{key}' for our path {'.'.join(path)}")
             return node
         used.add(key)
-        return convert(node, sd[key], key)
+        return convert(node, sd[key], key, path[-1])
 
     out = walk(params, [])
     if strict:
