@@ -304,6 +304,52 @@ def run_multimodal_infer(request: dict) -> dict:
     return response(request["skill"], "ok", f"{len(rows)} result(s) over {len(classes)} prompts", results=rows)
 
 
+def run_multimodal_fuse(request: dict) -> dict:
+    """Fuse detector boxes with VLM proposals/verdicts (reference
+    agent/runtime/multimodal/fusion.py build_multimodal_fusion_preview).
+    Proposals arrive as data — the reference's wire format — so no VLM
+    dependency is needed in-process."""
+    inputs = request.get("inputs", {})
+    dets = inputs.get("detections")
+    props = inputs.get("proposals")
+    if dets is None or props is None:
+        raise ValueError("yolo.multimodal.fuse requires inputs.detections and inputs.proposals")
+    if request.get("dry_run"):
+        return plan_response(request, "fuse VLM proposals with detections", "openworld.fuse_detections")
+    from .openworld import fuse_detections
+
+    out = fuse_detections(list(dets), list(props), **request.get("params", {}))
+    return response(
+        request["skill"], "ok",
+        f"{len(out['fused'])} fused ({len(out['added'])} added, {len(out['suppressed'])} suppressed)",
+        **out,
+    )
+
+
+def run_open_world_eval(request: dict) -> dict:
+    """Open-world taxonomy evaluation (reference agent/runtime/open_world/
+    taxonomy.py): canonicalize predicted vs GT labels through alias/token
+    matching and score IoU-matched label agreement."""
+    inputs = request.get("inputs", {})
+    preds = inputs.get("predictions")
+    gts = inputs.get("ground_truth")
+    if preds is None or gts is None:
+        raise ValueError("yolo.eval.open_world requires inputs.predictions and inputs.ground_truth")
+    if request.get("dry_run"):
+        return plan_response(request, "open-world label comparison", "openworld.open_world_comparison")
+    from .openworld import Taxonomy, open_world_comparison
+
+    vocab = inputs.get("vocabulary")
+    tax = Taxonomy(vocab, aliases=inputs.get("aliases")) if vocab else None
+    rep = open_world_comparison(list(preds), list(gts), taxonomy=tax, **request.get("params", {}))
+    return response(
+        request["skill"], "ok",
+        f"{rep['label_hits']}/{rep['matched']} matched boxes carry the right label "
+        f"(P={rep['precision']:.2f} R={rep['recall']:.2f})",
+        **rep,
+    )
+
+
 HANDLERS: Dict[str, Callable[[dict], dict]] = {
     "yolo.system": run_system,
     "yolo.system.doctor": run_system,
@@ -322,6 +368,8 @@ HANDLERS: Dict[str, Callable[[dict], dict]] = {
     "yolo.lora.diagnose": run_lora_diagnose,
     "yolo.eval.peft_compare": run_peft_compare,
     "yolo.multimodal.infer": run_multimodal_infer,
+    "yolo.multimodal.fuse": run_multimodal_fuse,
+    "yolo.eval.open_world": run_open_world_eval,
 }
 
 
