@@ -172,3 +172,65 @@ class BenchmarkSuite:
 def run_suite(path: Optional[str] = None, save_path: str = "runs/bench/suite.json"):
     entries = yaml_load(path) if path else None
     return BenchmarkSuite(entries, save_path).run()
+
+
+class ProfileModels:
+    """Profile a list of model configs on the current JAX backend (reference
+    parity: ultralytics/utils/benchmarks.py:262 ProfileModels, recast from
+    ONNX/TensorRT to compiled-XLA): params, GFLOPs from the compiled HLO,
+    compile time and steady-state forward latency per model.
+
+    Examples:
+        >>> ProfileModels(["yolo-master-n", "yolo26-master"], imgsz=320).run()
+    """
+
+    def __init__(self, paths, imgsz: int = 640, num_timed_runs: int = 20, num_warmup_runs: int = 2):
+        self.paths = list(paths)
+        self.imgsz = imgsz
+        self.num_timed_runs = num_timed_runs
+        self.num_warmup_runs = num_warmup_runs
+
+    def run(self) -> List[dict]:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.yolo import YOLO
+        from ..utils.hostinfo import select_device_summary
+        from ..utils.info import model_info
+
+        rows = []
+        LOGGER.info(f"ProfileModels on {select_device_summary()}")
+        for path in self.paths:
+            model = YOLO(path).model
+            params = jax.device_put(model.init_params(0))
+            info = model_info(model, params, imgsz=self.imgsz, verbose=False)
+            fwd = jax.jit(lambda p, x, m=model: m.forward_predict(p, x))
+            x = jnp.zeros((1, self.imgsz, self.imgsz, 3), jnp.float32)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(params, x))
+            compile_s = time.perf_counter() - t0
+            for _ in range(self.num_warmup_runs):
+                jax.block_until_ready(fwd(params, x))
+            times = []
+            for _ in range(self.num_timed_runs):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fwd(params, x))
+                times.append((time.perf_counter() - t0) * 1e3)
+            times.sort()
+            row = {
+                "model": str(path),
+                "imgsz": self.imgsz,
+                "params_m": round(info.get("params", 0) / 1e6, 3),
+                "gflops": round(info.get("gflops", 0.0), 2),
+                "compile_s": round(compile_s, 2),
+                "latency_ms_median": round(times[len(times) // 2], 3),
+                "latency_ms_min": round(times[0], 3),
+            }
+            rows.append(row)
+            LOGGER.info(
+                f"  {row['model']}: {row['params_m']}M params, {row['gflops']} GFLOPs, "
+                f"{row['latency_ms_median']} ms @ {self.imgsz}"
+            )
+        return rows
