@@ -309,13 +309,13 @@ def run_multimodal_fuse(request: dict) -> dict:
     agent/runtime/multimodal/fusion.py build_multimodal_fusion_preview).
     Proposals arrive as data — the reference's wire format — so no VLM
     dependency is needed in-process."""
+    if request.get("dry_run"):
+        return plan_response(request, "fuse VLM proposals with detections", "openworld.fuse_detections")
     inputs = request.get("inputs", {})
     dets = inputs.get("detections")
     props = inputs.get("proposals")
     if dets is None or props is None:
         raise ValueError("yolo.multimodal.fuse requires inputs.detections and inputs.proposals")
-    if request.get("dry_run"):
-        return plan_response(request, "fuse VLM proposals with detections", "openworld.fuse_detections")
     from .openworld import fuse_detections
 
     out = fuse_detections(list(dets), list(props), **request.get("params", {}))
@@ -330,13 +330,13 @@ def run_open_world_eval(request: dict) -> dict:
     """Open-world taxonomy evaluation (reference agent/runtime/open_world/
     taxonomy.py): canonicalize predicted vs GT labels through alias/token
     matching and score IoU-matched label agreement."""
+    if request.get("dry_run"):
+        return plan_response(request, "open-world label comparison", "openworld.open_world_comparison")
     inputs = request.get("inputs", {})
     preds = inputs.get("predictions")
     gts = inputs.get("ground_truth")
     if preds is None or gts is None:
         raise ValueError("yolo.eval.open_world requires inputs.predictions and inputs.ground_truth")
-    if request.get("dry_run"):
-        return plan_response(request, "open-world label comparison", "openworld.open_world_comparison")
     from .openworld import Taxonomy, open_world_comparison
 
     vocab = inputs.get("vocabulary")

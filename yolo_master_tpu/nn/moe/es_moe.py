@@ -157,6 +157,15 @@ class ES_MOE(Module):
         out = self.norm_bn(p["norm_bn"], out, ctx)
         return silu(out)
 
+    def pallas_fusable(self) -> bool:
+        """Whether deploy surgery can swap this block for the fused kernel:
+        dense eval (no top-k sparse path — the flagship's ``top_k=None``
+        placements) and stride-1 experts."""
+        return (
+            not (self.use_sparse_inference and self.use_top_k and self.top_k < self.num_experts)
+            and all(self.experts[i].conv.s == 1 for i in range(self.num_experts))
+        )
+
     def _expert_parallel_dense(self, p: Params, x: jnp.ndarray, w: jnp.ndarray, ctx: Context) -> jnp.ndarray:
         """Dense routed mixture with expert compute sharded over ``ctx.expert_axis``.
 
@@ -234,3 +243,33 @@ class ES_MOE(Module):
         y = silu(y)
         out = jnp.einsum("bhweo,be->bhwo", y.astype(jnp.float32), w.astype(jnp.float32)).astype(x.dtype)
         return out
+
+
+class PallasESMOE(Module):
+    """Deploy-time replacement for a dense-eval ES_MOE block: routing stays in
+    XLA (GAP + tiny MLP, fuses into the producer), the E-expert dwsep mixture +
+    output norm runs as ONE whole-plane Pallas kernel (ops/pallas_esmoe.py) —
+    one HBM plane read + one write instead of ~8 lane-padded round-trips.
+
+    Params: {"routing": <DynamicRoutingLayer tree>, "banks": {dw, pw, pb,
+    gamma, beta}} — produced by utils/fuse.py pallas_esmoe_fuse. Eval-only
+    (deploy surgery happens after training)."""
+
+    def __init__(self, block: "ES_MOE"):
+        super().__init__()
+        self.routing = block.routing
+        self._children["routing"] = block.routing
+        self.ks = tuple(block.experts[i].conv.k for i in range(block.num_experts))
+        self.in_channels = block.in_channels
+        self.out_channels = block.out_channels
+
+    def __call__(self, p: Params, x: jnp.ndarray, ctx: Context) -> jnp.ndarray:
+        from ...ops.pallas_esmoe import fused_esmoe
+
+        w, _ = self.routing(p["routing"], x, ctx)
+        b = p["banks"]
+        interpret = jax.default_backend() != "tpu"
+        return fused_esmoe(
+            x, w.astype(jnp.float32), b["dw"], b["pw"], b["pb"],
+            b["gamma"], b["beta"], ks=self.ks, interpret=interpret,
+        )

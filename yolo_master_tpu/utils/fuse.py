@@ -144,3 +144,34 @@ def block_c3k2(model, params, layers=None, min_pad_ratio: float = 2.0):
         params["layers"][str(spec.i)] = BlockedC3k2.remap_params(folded)
         spec.module = blocked
     return params
+
+
+def pallas_esmoe_fuse(model, params, layers=None):
+    """Swap dense-eval ES_MOE blocks for the whole-plane fused Pallas kernel
+    (nn/moe/es_moe.py PallasESMOE over ops/pallas_esmoe.py).
+
+    Works on raw or BN-folded params (expert/norm BNs are folded into the
+    kernel banks here either way). Mutates model.specs in place; returns a
+    NEW params tree where each swapped layer holds {"routing", "banks"}.
+    ``layers`` restricts the surgery to the given spec indices."""
+    from ..nn.moe.es_moe import ES_MOE, PallasESMOE
+    from ..nn.module import dict_copy
+    from ..ops.pallas_esmoe import pack_esmoe_params
+
+    params = dict_copy(params)
+    for spec in model.specs:
+        m = spec.module
+        if type(m) is not ES_MOE or not m.pallas_fusable():
+            continue
+        if layers is not None and spec.i not in layers:
+            continue
+        p = params["layers"][str(spec.i)]
+        dw, pw, pb, gamma, beta, ks = pack_esmoe_params(m, p)
+        fused = PallasESMOE(m)
+        fused.finalize(m.path)
+        params["layers"][str(spec.i)] = {
+            "routing": p["routing"],
+            "banks": {"dw": dw, "pw": pw, "pb": pb, "gamma": gamma, "beta": beta},
+        }
+        spec.module = fused
+    return params
