@@ -41,7 +41,10 @@ def main():
             def body(i, carry):
                 x, acc = carry
                 preds = model.forward_train(p, x, Context(training=False))
-                decoded = model.head.decode(preds, raw_scores=True)
+                # top-k-first decode: DFL only on the top-1024 anchors (exact —
+                # selection on logit max commutes with sigmoid; NMS reads only
+                # these candidates). Same path as the Predictor fast path.
+                decoded = model.head.decode_topk(preds, k=1024)
                 det = non_max_suppression(
                     decoded, nc=model.nc, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=1024, scores_are_logits=True
                 )

@@ -148,8 +148,24 @@ def _stub_torchvision():
     # probes (e.g. transformers feature detection) don't raise
     tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
     ops.__spec__ = importlib.machinery.ModuleSpec("torchvision.ops", loader=None)
+    tv.__ymt_stub__ = True  # marker so the module teardown can uninstall it
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _uninstall_torchvision_stub():
+    """Remove the stub after this module's tests: a lingering fake torchvision
+    makes transformers' find_spec availability probe succeed and then crash on
+    real imports (seen as an ordering-dependent failure in the CLIP parity
+    test)."""
+    import sys
+
+    yield
+    tv = sys.modules.get("torchvision")
+    if tv is not None and getattr(tv, "__ymt_stub__", False):
+        sys.modules.pop("torchvision", None)
+        sys.modules.pop("torchvision.ops", None)
 
 
 def _run_reference_val(tm, data_yaml, tmp_dir):

@@ -111,3 +111,33 @@ def test_classes_filter_on_logits_path():
         scores_are_logits=True, use_pallas=False,
     )
     assert int(det2["valid"].sum()) == 1 and int(det2["classes"][0, 0]) == 2
+
+
+def test_decode_topk_exact_vs_full_decode():
+    """The predictor's top-k-first fast path (decode_topk + NMS) must produce
+    the EXACT detections of decode(raw_scores=True) + NMS: top-k selection on
+    logit max commutes with sigmoid, and the single-label NMS path only ever
+    reads the top max_nms candidates."""
+    import jax.numpy as jnp
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import DetectionModel
+    from yolo_master_tpu.ops.nms import non_max_suppression
+
+    model = DetectionModel("yolo-master-n")
+    params = model.init_params(0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)), jnp.float32)
+    preds = model.forward_train(params, x, Context(training=False))
+
+    full = model.head.decode(preds, raw_scores=True)
+    topk = model.head.decode_topk(preds, k=256)
+    kw = dict(nc=model.nc, conf_thres=0.05, iou_thres=0.45, max_det=32,
+              max_nms=256, scores_are_logits=True, use_pallas=False)
+    da = non_max_suppression(full, **kw)
+    db = non_max_suppression(topk, **kw)
+    assert np.array_equal(np.asarray(da["valid"]), np.asarray(db["valid"]))
+    v = np.asarray(da["valid"])
+    assert np.allclose(np.asarray(da["boxes"])[v], np.asarray(db["boxes"])[v], atol=1e-5)
+    assert np.allclose(np.asarray(da["scores"])[v], np.asarray(db["scores"])[v], atol=1e-6)
+    assert np.array_equal(np.asarray(da["classes"])[v], np.asarray(db["classes"])[v])

@@ -25,6 +25,30 @@ def test_pallas_nms_matches_scan_interpret():
     assert np.array_equal(kept_p, kept_s)
 
 
+def test_pallas_nms_early_exit_matches_scan_interpret():
+    """Candidates exhaust long before max_det: the kernel's alive-flag early
+    exit must still produce the scan's exact keep set, with every post-exit
+    slot invalid (idx 0, valid 0)."""
+    from yolo_master_tpu.ops.nms import _greedy_nms
+    from yolo_master_tpu.ops.pallas_nms import pallas_greedy_nms
+
+    rng = np.random.default_rng(7)
+    n, n_valid, max_det = 256, 6, 64
+    xy = rng.uniform(0, 600, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    scores = np.zeros(n, np.float32)
+    scores[rng.choice(n, n_valid, replace=False)] = rng.uniform(0.3, 1.0, n_valid)
+    scores = jnp.asarray(scores)
+    ki_p, kv_p = pallas_greedy_nms(boxes, scores, 0.45, max_det, interpret=True)
+    ki_s, kv_s = _greedy_nms(boxes, scores, 0.45, max_det)
+    assert np.array_equal(np.asarray(ki_p)[np.asarray(kv_p)], np.asarray(ki_s)[np.asarray(kv_s)])
+    n_kept = int(np.asarray(kv_p).sum())
+    assert n_kept <= n_valid
+    assert not np.asarray(kv_p)[n_kept:].any()
+    assert not np.asarray(ki_p)[n_kept:].any()
+
+
 def test_gathered_expert_matmul_interpret():
     from yolo_master_tpu.ops.pallas_moe import dense_expert_matmul, gathered_expert_matmul
 

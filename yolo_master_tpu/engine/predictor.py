@@ -111,6 +111,19 @@ class DetectionPredictor:
             end2end = self.model.head.end2end
 
             supports_raw = hasattr(self.model.head, "decode") and "raw_scores" in self.model.head.decode.__code__.co_varnames
+            # top-k-first fast path: DFL-decode only the top max_nms anchors
+            # (selection on class-logit max commutes with sigmoid, and the NMS
+            # single-label path only ever reads those candidates — exact).
+            # Only for pure Detect decodes (Segment/Pose/OBB append extra
+            # columns decode_topk doesn't carry) and unmasked classes (a
+            # class_mask changes each anchor's ranking score).
+            from ..nn.heads import Detect
+
+            topk_exact = (
+                type(self.model.head).decode is Detect.decode
+                and not getattr(self.model.head, "xyxy", False)
+                and self.class_mask is None
+            )
 
             @jax.jit
             def run(params, x):
@@ -132,8 +145,11 @@ class DetectionPredictor:
                         "valid": conf_ok,
                     }
                 # logits fast path: candidate selection pre-sigmoid (monotonic)
-                decoded = (self.model.head.decode(preds, raw_scores=True)
-                           if supports_raw else self.model.head.decode(preds))
+                if topk_exact:
+                    decoded = self.model.head.decode_topk(preds, k=self.max_nms)
+                else:
+                    decoded = (self.model.head.decode(preds, raw_scores=True)
+                               if supports_raw else self.model.head.decode(preds))
 
                 def nms(iou):
                     return non_max_suppression(

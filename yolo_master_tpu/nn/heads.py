@@ -176,7 +176,7 @@ class Detect(Module):
         a_sel = anchors[idx]  # [B, k, 2]
         s_sel = strides[idx]
         dist = dfl_decode(box_logits, self.reg_max)
-        dbox = dist2bbox(dist, a_sel, xywh=True) * s_sel
+        dbox = dist2bbox(dist, a_sel, xywh=not self.end2end and not self.xyxy) * s_sel
         return jnp.concatenate([dbox, sel_logits], -1)
 
     def postprocess_end2end(self, decoded: jnp.ndarray, max_det: int = 300) -> jnp.ndarray:

@@ -20,9 +20,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_kernel(boxes_ref, scores_ref, keep_idx_ref, keep_valid_ref, alive_ref, iou_thres: float, max_det: int):
+def _nms_kernel(boxes_ref, scores_ref, keep_idx_ref, keep_valid_ref, alive_ref, flag_ref,
+                iou_thres: float, max_det: int):
     n = scores_ref.shape[1]
     alive_ref[:] = scores_ref[:]
+    flag_ref[0] = 1
     x1 = boxes_ref[0:1, :]
     y1 = boxes_ref[1:2, :]
     x2 = boxes_ref[2:3, :]
@@ -31,23 +33,33 @@ def _nms_kernel(boxes_ref, scores_ref, keep_idx_ref, keep_valid_ref, alive_ref, 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(i, _):
-        alive = alive_ref[:]
-        best = jnp.max(alive)
-        idx = jnp.argmax(alive[0], axis=0).astype(jnp.int32)
-        valid = best > 0.0
-        bx1 = jnp.sum(jnp.where(lane == idx, x1, 0.0))
-        by1 = jnp.sum(jnp.where(lane == idx, y1, 0.0))
-        bx2 = jnp.sum(jnp.where(lane == idx, x2, 0.0))
-        by2 = jnp.sum(jnp.where(lane == idx, y2, 0.0))
-        barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
-        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
-        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
-        inter = iw * ih
-        iou = inter / (areas + barea - inter + 1e-7)
-        suppress = (iou > iou_thres) | (lane == idx)
-        alive_ref[:] = jnp.where(valid & suppress, 0.0, alive)
-        keep_idx_ref[0, i] = idx
-        keep_valid_ref[0, i] = valid.astype(jnp.int32)
+        # early exit: greedy termination is monotone — scores only ever get
+        # zeroed, so once the best alive score is <= 0 every later step is
+        # invalid too; skip the VPU argmax/IoU work for the rest of the loop
+        keep_idx_ref[0, i] = 0
+        keep_valid_ref[0, i] = 0
+
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            alive = alive_ref[:]
+            best = jnp.max(alive)
+            idx = jnp.argmax(alive[0], axis=0).astype(jnp.int32)
+            valid = best > 0.0
+            bx1 = jnp.sum(jnp.where(lane == idx, x1, 0.0))
+            by1 = jnp.sum(jnp.where(lane == idx, y1, 0.0))
+            bx2 = jnp.sum(jnp.where(lane == idx, x2, 0.0))
+            by2 = jnp.sum(jnp.where(lane == idx, y2, 0.0))
+            barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+            iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+            ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+            inter = iw * ih
+            iou = inter / (areas + barea - inter + 1e-7)
+            suppress = (iou > iou_thres) | (lane == idx)
+            alive_ref[:] = jnp.where(valid & suppress, 0.0, alive)
+            keep_idx_ref[0, i] = idx
+            keep_valid_ref[0, i] = valid.astype(jnp.int32)
+            flag_ref[0] = valid.astype(jnp.int32)
+
         return 0
 
     jax.lax.fori_loop(0, max_det, body, 0)
@@ -81,7 +93,7 @@ def pallas_greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalar keep stores
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32), pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(boxes_t, scores_r)
     return keep_idx[0], keep_valid[0].astype(bool)
