@@ -80,3 +80,57 @@ def test_pallas_c3k2_variants_interpret():
         for fn in (pallas_c3k2, pallas_c3k2_cf):
             out = fn(x, w, c=m.c, n=n, interpret=True)
             assert float(jnp.abs(out - ref).max()) < 1e-5, fn.__name__
+
+
+def test_pallas_batched_nms_matches_scan_interpret():
+    """Batched lockstep kernel: per-image keep sets must equal the scan's,
+    including rows that exhaust at very different greedy steps (the whole-batch
+    early-exit flag only fires when EVERY row is done)."""
+    from yolo_master_tpu.ops.nms import _greedy_nms
+    from yolo_master_tpu.ops.pallas_nms import pallas_batched_greedy_nms
+
+    rng = np.random.default_rng(11)
+    b, n, max_det = 5, 256, 64
+    xy = rng.uniform(0, 600, (b, n, 2))
+    wh = rng.uniform(10, 120, (b, n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    scores = np.zeros((b, n), np.float32)
+    # row 0: dense; row 1: sparse (3 valid); row 2: empty; rows 3-4: medium
+    for i, nv in enumerate([n, 3, 0, 40, 12]):
+        if nv:
+            scores[i, rng.choice(n, nv, replace=False)] = rng.uniform(0.1, 1.0, nv)
+    scores = jnp.asarray(scores)
+    ki_b, kv_b = pallas_batched_greedy_nms(boxes, scores, 0.45, max_det, interpret=True)
+    for i in range(b):
+        ki_s, kv_s = _greedy_nms(boxes[i], scores[i], 0.45, max_det)
+        got = np.asarray(ki_b[i])[np.asarray(kv_b[i])]
+        want = np.asarray(ki_s)[np.asarray(kv_s)]
+        assert np.array_equal(got, want), f"row {i} keep mismatch"
+        nk = int(np.asarray(kv_b[i]).sum())
+        assert not np.asarray(kv_b[i])[nk:].any()
+
+
+def test_batched_nms_via_public_api():
+    """non_max_suppression(use_pallas) routes through the batched kernel; on
+    CPU interpret isn't used so compare pallas-interpret wiring via the scan
+    fallback equivalence instead: the public API result must be identical for
+    the scan path whether called batched or per-image (regression guard on the
+    prep/finalize split)."""
+    from yolo_master_tpu.ops.nms import _single_image_nms, non_max_suppression
+
+    rng = np.random.default_rng(13)
+    pred = rng.uniform(0, 1, (3, 128, 4 + 8)).astype(np.float32)
+    pred[..., :2] = rng.uniform(100, 500, (3, 128, 2))
+    pred[..., 2:4] = rng.uniform(20, 80, (3, 128, 2))
+    batched = non_max_suppression(
+        jnp.asarray(pred), nc=8, conf_thres=0.3, iou_thres=0.5, max_det=16,
+        max_nms=64, use_pallas=False,
+    )
+    for i in range(3):
+        single = _single_image_nms(
+            jnp.asarray(pred[i]), nc=8, conf_thres=0.3, iou_thres=0.5,
+            max_det=16, max_nms=64, agnostic=False, multi_label=False,
+            class_mask=None, use_pallas=False,
+        )
+        for key in ("boxes", "scores", "classes", "valid"):
+            assert np.allclose(np.asarray(batched[key][i]), np.asarray(single[key]), atol=1e-6), (key, i)

@@ -61,20 +61,16 @@ def _greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_d
     return keep_idx, keep_valid
 
 
-def _single_image_nms(
+def _prep_candidates(
     pred: jnp.ndarray,
     nc: int,
     conf_thres: float,
-    iou_thres: float,
-    max_det: int,
     max_nms: int,
-    agnostic: bool,
     multi_label: bool,
     class_mask: Optional[jnp.ndarray],
-    use_pallas: bool,
-    scores_are_logits: bool = False,
+    scores_are_logits: bool,
 ):
-    """pred: [A, 4+nc+extra] with xywh boxes; returns fixed-shape detections."""
+    """pred: [A, 4+nc+extra] xywh. Top-max_nms candidate selection (vmapped)."""
     a = pred.shape[0]
     extra = pred.shape[1] - 4 - nc
     boxes = xywh2xyxy(pred[:, :4])
@@ -94,29 +90,47 @@ def _single_image_nms(
         scores, flat_idx = jax.lax.top_k(flat, k)
         anchor_idx = flat_idx // nc
         cls_idx = (flat_idx % nc).astype(jnp.float32)
-        cboxes = boxes[anchor_idx]
-        cextra = pred[anchor_idx, 4 + nc :] if extra else jnp.zeros((k, 0), pred.dtype)
     else:
         conf = jnp.max(cls_scores, axis=-1)
         k = min(max_nms, a)
         scores, anchor_idx = jax.lax.top_k(conf, k)
         cls_idx = jnp.argmax(cls_scores[anchor_idx], axis=-1).astype(jnp.float32)
-        cboxes = boxes[anchor_idx]
-        cextra = pred[anchor_idx, 4 + nc :] if extra else jnp.zeros((k, 0), pred.dtype)
+    cboxes = boxes[anchor_idx]
+    cextra = pred[anchor_idx, 4 + nc :] if extra else jnp.zeros((k, 0), pred.dtype)
 
     if scores_are_logits:
         scores = jax.nn.sigmoid(scores.astype(jnp.float32))
-    valid = scores > conf_thres
-    scores = jnp.where(valid, scores, 0.0)
+    scores = jnp.where(scores > conf_thres, scores, 0.0)
+    return cboxes, scores.astype(jnp.float32), cls_idx, cextra
+
+
+def _single_image_nms(
+    pred: jnp.ndarray,
+    nc: int,
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    max_nms: int,
+    agnostic: bool,
+    multi_label: bool,
+    class_mask: Optional[jnp.ndarray],
+    use_pallas: bool,
+    scores_are_logits: bool = False,
+):
+    """pred: [A, 4+nc+extra] with xywh boxes; returns fixed-shape detections."""
+    cboxes, scores, cls_idx, cextra = _prep_candidates(
+        pred, nc, conf_thres, max_nms, multi_label, class_mask, scores_are_logits
+    )
+    extra = cextra.shape[-1]
     offset = 0.0 if agnostic else cls_idx[:, None] * MAX_WH
     if use_pallas:
         from .pallas_nms import pallas_greedy_nms
 
         keep_idx, keep_valid = pallas_greedy_nms(
-            (cboxes + offset).astype(jnp.float32), scores.astype(jnp.float32), iou_thres, max_det
+            (cboxes + offset).astype(jnp.float32), scores, iou_thres, max_det
         )
     else:
-        keep_idx, keep_valid = _greedy_nms(cboxes + offset, scores.astype(jnp.float32), iou_thres, max_det)
+        keep_idx, keep_valid = _greedy_nms(cboxes + offset, scores, iou_thres, max_det)
 
     out_boxes = cboxes[keep_idx] * keep_valid[:, None]
     out_scores = scores[keep_idx] * keep_valid
@@ -164,20 +178,45 @@ def non_max_suppression(
         # the Pallas kernel is 15-20x faster than the lax.scan greedy loop on
         # TPU; the scan stays as the portable (CPU/interpret) fallback
         use_pallas = jax.default_backend() != "cpu"
-    fn = partial(
-        _single_image_nms,
+
+    prep = partial(
+        _prep_candidates,
         nc=nc,
         conf_thres=conf_thres,
-        iou_thres=iou_thres,
-        max_det=max_det,
         max_nms=max_nms,
-        agnostic=agnostic,
         multi_label=multi_label,
         class_mask=class_mask,
-        use_pallas=use_pallas,
         scores_are_logits=scores_are_logits,
     )
-    return jax.vmap(fn)(prediction)
+    cboxes, scores, cls_idx, cextra = jax.vmap(prep)(prediction)  # [B, k, ...]
+    extra = cextra.shape[-1]
+    offset = 0.0 if agnostic else cls_idx[..., None] * MAX_WH
+    if use_pallas:
+        # one kernel invocation for the whole batch: every image advances in
+        # lockstep on its own sublane row (vmapping the single-image kernel
+        # would serialize the batch as a pallas grid)
+        from .pallas_nms import pallas_batched_greedy_nms
+
+        keep_idx, keep_valid = pallas_batched_greedy_nms(
+            (cboxes + offset).astype(jnp.float32), scores, iou_thres, max_det
+        )
+    else:
+        keep_idx, keep_valid = jax.vmap(partial(_greedy_nms, iou_thres=iou_thres, max_det=max_det))(
+            cboxes + offset, scores
+        )
+
+    take = jnp.take_along_axis
+    out_boxes = take(cboxes, keep_idx[..., None], 1) * keep_valid[..., None]
+    out_scores = take(scores, keep_idx, 1) * keep_valid
+    out_cls = jnp.where(keep_valid, take(cls_idx, keep_idx, 1), -1.0)
+    out_extra = take(cextra, keep_idx[..., None], 1) * keep_valid[..., None] if extra else cextra[:, :max_det]
+    return {
+        "boxes": out_boxes,
+        "scores": out_scores,
+        "classes": out_cls,
+        "valid": keep_valid,
+        "extra": out_extra,
+    }
 
 
 def _greedy_cw_nms(boxes, scores, iou_thres, max_det, sigma=0.1, weighted_iou=True):

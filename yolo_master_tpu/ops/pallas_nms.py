@@ -65,6 +65,87 @@ def _nms_kernel(boxes_ref, scores_ref, keep_idx_ref, keep_valid_ref, alive_ref, 
     jax.lax.fori_loop(0, max_det, body, 0)
 
 
+def _batched_nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
+                        keep_idx_ref, keep_valid_ref, alive_ref, flag_ref,
+                        iou_thres: float, max_det: int):
+    """All B images advance in lockstep, one VPU sublane row per image.
+
+    The single-image kernel leaves 7/8 sublanes idle and vmap serializes the
+    batch as a grid — at bs=16 that is 16 sequential greedy loops. Here each
+    fori_loop step does one greedy pick for EVERY image as row-wise [B, N]
+    VPU ops (per-row argmax, masked-sum coordinate select, row-broadcast IoU).
+    Keep outputs land in VMEM via one-hot accumulation over a det-lane iota
+    (`where(det_lane == i, idx, 0)`) so no dynamic-index stores are needed,
+    and a whole-batch SMEM alive flag early-exits once every row is exhausted.
+    """
+    b, n = scores_ref.shape
+    alive_ref[:] = scores_ref[:]
+    flag_ref[0] = 1
+    keep_idx_ref[:] = jnp.zeros_like(keep_idx_ref)
+    keep_valid_ref[:] = jnp.zeros_like(keep_valid_ref)
+    x1, y1, x2, y2 = x1_ref[:], y1_ref[:], x2_ref[:], y2_ref[:]
+    areas = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # [B, N]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    det_lane = jax.lax.broadcasted_iota(jnp.int32, (b, keep_idx_ref.shape[1]), 1)
+
+    def body(i, _):
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            alive = alive_ref[:]
+            best = jnp.max(alive, axis=1, keepdims=True)  # [B, 1]
+            idx = jnp.argmax(alive, axis=1)[:, None].astype(jnp.int32)  # [B, 1]
+            valid = best > 0.0  # [B, 1]
+            sel = lane == idx
+            bx1 = jnp.sum(jnp.where(sel, x1, 0.0), axis=1, keepdims=True)
+            by1 = jnp.sum(jnp.where(sel, y1, 0.0), axis=1, keepdims=True)
+            bx2 = jnp.sum(jnp.where(sel, x2, 0.0), axis=1, keepdims=True)
+            by2 = jnp.sum(jnp.where(sel, y2, 0.0), axis=1, keepdims=True)
+            barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+            iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+            ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+            inter = iw * ih
+            iou = inter / (areas + barea - inter + 1e-7)
+            suppress = (iou > iou_thres) | sel
+            alive_ref[:] = jnp.where(valid & suppress, 0.0, alive)
+            write = (det_lane == i) & valid
+            keep_idx_ref[:] = keep_idx_ref[:] + jnp.where(write, idx, 0)
+            keep_valid_ref[:] = keep_valid_ref[:] + jnp.where(write, 1, 0)
+            flag_ref[0] = jnp.any(valid).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, max_det, body, 0)
+
+
+@partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
+def pallas_batched_greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
+                              max_det: int, interpret: bool = False):
+    """Exact greedy NMS over a batch: boxes [B, N, 4] xyxy (class-offset
+    applied), scores [B, N] (invalid <= 0). Per image, the keep set equals
+    ops.nms._greedy_nms exactly. Returns keep_idx [B, max_det] int32,
+    keep_valid [B, max_det] bool.
+    """
+    b, n = scores.shape
+    bf = boxes.astype(jnp.float32)
+    x1, y1, x2, y2 = bf[..., 0], bf[..., 1], bf[..., 2], bf[..., 3]
+    det_pad = -(-max_det // 128) * 128  # lane-dim-aligned output tile
+    keep_idx, keep_valid = pl.pallas_call(
+        partial(_batched_nms_kernel, iou_thres=iou_thres, max_det=max_det),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, det_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, det_pad), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32), pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(x1, y1, x2, y2, scores.astype(jnp.float32))
+    return keep_idx[:, :max_det], keep_valid[:, :max_det].astype(bool)
+
+
 @partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
 def pallas_greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int,
                       interpret: bool = False):
