@@ -14,9 +14,16 @@ import jax
 import numpy as np
 
 
+_EMPTY = "__empty__"  # sentinel leaf marking a parameterless subtree
+
+
 def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
     if not isinstance(tree, dict):
         return {prefix[:-1]: np.asarray(tree)}
+    if not tree:
+        # parameterless modules (Concat/Upsample layers) own empty dicts; they
+        # must survive the roundtrip or model walkers KeyError on the layer
+        return {f"{prefix}{_EMPTY}": np.zeros((), np.int8)} if prefix else {}
     flat: Dict[str, np.ndarray] = {}
     for k, v in tree.items():
         flat.update(flatten_tree(v, f"{prefix}{k}."))
@@ -30,6 +37,8 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
         parts = key.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+        if parts[-1] == _EMPTY:
+            continue  # the setdefault chain already materialized the empty dict
         node[parts[-1]] = val
     return tree
 
