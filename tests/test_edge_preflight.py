@@ -3,6 +3,7 @@
 utils/export_preflight.py, utils/export_validation.py)."""
 
 import numpy as np
+from pathlib import Path
 import pytest
 
 
@@ -116,3 +117,16 @@ def test_deploy_for_edge_rejects_unknown_format(model_np):
     m, p = model_np
     with pytest.raises(ValueError, match="Unsupported"):
         deploy_for_edge(m, p, formats=["engine"])
+
+
+def test_export_model_runs_preflight(model_np, tmp_path, caplog):
+    """export_model preflights routed modules; strict mode propagates refusals
+    from an injected all-refuse matrix via the default path being permissive —
+    here we just assert the integrated call succeeds and stays silent for a
+    fully-dynamic format."""
+    from yolo_master_tpu.engine.exporter import export_model
+
+    m, p = model_np
+    path = export_model(m, p, "npz", imgsz=64, output=str(tmp_path / "w.npz"),
+                        strict_preflight=True)
+    assert Path(path).exists()

@@ -192,6 +192,7 @@ def export_model(
     batch: int = 1,
     conf: float = 0.25,
     iou: float = 0.45,
+    strict_preflight: bool = False,
 ) -> str:
     """Export to the requested format; returns the artifact path."""
     fmt = fmt.lower()
@@ -200,6 +201,12 @@ def export_model(
     info = EXPORT_FORMATS[fmt]
     if not info["available"]:
         raise RuntimeError(f"format '{fmt}' unavailable: {info.get('reason')}")
+    if hasattr(model, "specs"):
+        # capability-matrix preflight (reference utils/export_preflight.py):
+        # warns per routed module by default; strict raises on any refusal
+        from ..utils.export_preflight import export_preflight
+
+        export_preflight(model, fmt, strict=strict_preflight)
     handler = _WRITERS.get(fmt)
     if handler is None:  # pragma: no cover - blocked by the consistency test
         raise RuntimeError(f"format '{fmt}' has no writer; report this (table/writer drift)")

@@ -95,6 +95,13 @@ class InferenceServer:
             import queue as _q
 
             self._queue = _q.Queue()
+        import threading
+
+        # staging: host->device transfer runs OUTSIDE this lock, only the
+        # graph dispatch inside — with several handler threads the next
+        # request's transfer overlaps the running device call (the serving
+        # analog of PrefetchLoader's producer-side device_put)
+        self._dispatch_lock = threading.Lock()
 
     # -- handlers -----------------------------------------------------------
     def _live(self, request: bytes, ctx) -> bytes:
@@ -120,8 +127,9 @@ class InferenceServer:
         pad_to = max(1, 1 << (bs - 1).bit_length())
         if pad_to != bs:
             x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
-        out = self.predictor._get_fn(pad_to)(self.predictor.params,
-                                             jnp.asarray(x, self.predictor.compute_dtype))
+        xd = jax.device_put(jnp.asarray(x, self.predictor.compute_dtype))  # staged
+        with self._dispatch_lock:
+            out = self.predictor._get_fn(pad_to)(self.predictor.params, xd)
         return jax.tree_util.tree_map(lambda a: np.asarray(a)[:bs], out)
 
     def _infer(self, request: bytes, ctx) -> bytes:
