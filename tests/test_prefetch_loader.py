@@ -94,3 +94,35 @@ def test_trainer_uses_prefetch_loader(tiny_dataset, tmp_path):
     out = tr.train()
     assert "best_fitness" in out
     assert (tmp_path / "run" / "last.npz").exists()
+
+
+def test_cache_ram_and_disk_identical(tiny_dataset):
+    """cache=ram|disk must yield byte-identical samples to uncached reads, and
+    the ram copy must be isolated from in-place augment writes (reference
+    base.py cache_images)."""
+    import random
+    from pathlib import Path
+
+    from yolo_master_tpu.data.dataset import YOLODataset
+
+    base = YOLODataset(tiny_dataset, split="val", imgsz=64, max_gt=8, augment=False)
+    ram = YOLODataset(tiny_dataset, split="val", imgsz=64, max_gt=8, augment=False, cache="ram")
+    disk = YOLODataset(tiny_dataset, split="val", imgsz=64, max_gt=8, augment=False, cache="disk")
+    for idx in (0, 3, 7):
+        im0, lb0 = base.load_sample(idx, random.Random(0))
+        im1, _ = ram.load_sample(idx, random.Random(0))
+        im2, _ = disk.load_sample(idx, random.Random(0))
+        assert np.array_equal(im0, im1) and np.array_equal(im0, im2)
+    # disk cache blobs exist and serve the second read
+    cache_files = list(Path(disk.img_files[0]).parent.glob(".ymt_cache_*.npy"))
+    assert cache_files
+    im2b, _ = disk.load_sample(0, random.Random(0))
+    im1b, _ = ram.load_sample(0, random.Random(0))
+    im0b, _ = base.load_sample(0, random.Random(0))
+    assert np.array_equal(im0b, im1b) and np.array_equal(im0b, im2b)
+    # ram isolation: mutating a returned image must not poison the cache
+    im1b[:] = 0
+    im1c, _ = ram.load_sample(0, random.Random(0))
+    assert np.array_equal(im0b, im1c)
+    with pytest.raises(ValueError):
+        YOLODataset(tiny_dataset, split="val", cache="gpu")

@@ -40,7 +40,7 @@ class YOLODataset:
     """Detection dataset over a dataset yaml ({path, train, val, names})."""
 
     def __init__(self, data: str | dict, split: str = "train", imgsz: int = 640, max_gt: int = 128,
-                 augment: bool = False, hyp: Optional[dict] = None):
+                 augment: bool = False, hyp: Optional[dict] = None, cache: Optional[str] = None):
         if isinstance(data, (str, Path)):
             yaml_path = Path(data)
             cfg = yaml_load(yaml_path)
@@ -68,6 +68,13 @@ class YOLODataset:
                     "mixup": 0.0, "cutmix": 0.0, "copy_paste": 0.0, **(hyp or {})}
         self.mosaic_enabled = True  # trainer flips this off for close_mosaic
         self._shapes = None
+        # decoded-image caching (reference base.py cache_images, cache=ram|disk):
+        # ram keeps decoded BGR arrays in-process; disk persists .npy blobs so
+        # later epochs skip jpeg decode (the usual CPU bottleneck)
+        self.cache = None if cache in (None, False, "false", "") else str(cache).lower()
+        if self.cache not in (None, "ram", "disk"):
+            raise ValueError(f"cache must be ram|disk|None, got {cache!r}")
+        self._ram: dict = {}
 
     @property
     def shapes(self):
@@ -100,6 +107,35 @@ class YOLODataset:
     def __len__(self):
         return len(self.img_files)
 
+    def _imread(self, idx: int) -> np.ndarray:
+        """Decoded BGR image for img_files[idx], honoring the cache mode."""
+        import cv2
+
+        def decode(path: str) -> np.ndarray:
+            im = cv2.imread(path)
+            if im is None:
+                raise FileNotFoundError(path)
+            return im
+
+        if self.cache == "ram":
+            im = self._ram.get(idx)
+            if im is None:
+                im = decode(self.img_files[idx])
+                self._ram[idx] = im
+            return im.copy()  # augments write in place
+        if self.cache == "disk":
+            p = Path(self.img_files[idx])
+            npy = p.parent / f".ymt_cache_{p.stem}.npy"
+            if npy.exists():
+                return np.load(npy)
+            im = decode(str(p))
+            try:
+                np.save(npy, im)
+            except OSError:  # read-only dataset dir: degrade to no cache
+                pass
+            return im
+        return decode(self.img_files[idx])
+
     def _rect_resize(self, im: np.ndarray) -> np.ndarray:
         """Reference base.load_image rect_mode resize: long side -> imgsz with
         CEIL dims, INTER_LINEAR, both up- and down-scaling (base.py:250-262).
@@ -120,9 +156,7 @@ class YOLODataset:
         """Returns (image HWC RGB float-ready uint8, labels [N,5] cls+xyxy px)."""
         import cv2
 
-        im = cv2.imread(self.img_files[idx])
-        if im is None:
-            raise FileNotFoundError(self.img_files[idx])
+        im = self._imread(idx)
         h0, w0 = im.shape[:2]
         lbl = self.labels[idx].copy()
 
@@ -176,7 +210,7 @@ class YOLODataset:
         """Donor sample for mixup/cutmix/copy-paste: letterboxed, no recursion."""
         import cv2
 
-        im = cv2.imread(self.img_files[idx])
+        im = self._imread(idx)
         h0, w0 = im.shape[:2]
         lbl = self.labels[idx]
         if isinstance(lbl, list):
@@ -205,7 +239,7 @@ class YOLODataset:
         canvas = np.full((s * 2, s * 2, 3), 114, np.uint8)
         all_labels = []
         for i, ix in enumerate(idxs):
-            im = cv2.imread(self.img_files[ix])
+            im = self._imread(ix)
             h0, w0 = im.shape[:2]
             r = s / max(h0, w0)
             if r != 1:
@@ -253,7 +287,7 @@ class YOLODataset:
         canvas = np.full((s * 3, s * 3, 3), 114, np.uint8)
         all_labels = []
         for i, ix in enumerate(idxs):
-            im = cv2.imread(self.img_files[ix])
+            im = self._imread(ix)
             h0, w0 = im.shape[:2]
             r = s / max(h0, w0)
             im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=cv2.INTER_LINEAR)
@@ -504,7 +538,7 @@ class SegmentDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = self._rect_resize(cv2.imread(self.img_files[idx]))
+        im = self._rect_resize(self._imread(idx))
         h0, w0 = im.shape[:2]  # resized dims; labels denormalize against them
         rows = self.labels[idx]
         im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
@@ -559,7 +593,7 @@ class PoseDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = self._rect_resize(cv2.imread(self.img_files[idx]))
+        im = self._rect_resize(self._imread(idx))
         h0, w0 = im.shape[:2]  # resized dims (labels denormalize against them)
         lbl = self.labels[idx]
         nk, nd = self.kpt_shape
@@ -628,7 +662,7 @@ class OBBDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = self._rect_resize(cv2.imread(self.img_files[idx]))
+        im = self._rect_resize(self._imread(idx))
         h0, w0 = im.shape[:2]  # resized dims (labels denormalize against them)
         lbl = self.labels[idx]
         im_lb, ratio, pad = letterbox(im, self.imgsz, scaleup=self.augment)
@@ -682,9 +716,7 @@ class SemanticDataset(YOLODataset):
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
-        im = cv2.imread(self.img_files[idx])
-        if im is None:
-            raise FileNotFoundError(self.img_files[idx])
+        im = self._imread(idx)
         mask_path = str(Path(img2label_path(self.img_files[idx])).with_suffix(".png"))
         m = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
         if m is None:

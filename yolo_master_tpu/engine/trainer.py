@@ -86,6 +86,7 @@ class DetectionTrainer:
         workers: int = 4,
         prefetch: int = 3,
         expert_parallel: int = 1,
+        cache: Optional[str] = None,
     ):
         self.yolo = yolo
         self.model = yolo.model
@@ -130,6 +131,7 @@ class DetectionTrainer:
         self.close_mosaic = close_mosaic
         compute_dtype = compute_dtype or (jnp.bfloat16 if amp else jnp.float32)
 
+        self.cache = cache
         self.train_set = self._build_dataset(data, "train")
         if workers and workers > 0:
             # threaded prefetching input pipeline (reference InfiniteDataLoader
@@ -273,7 +275,8 @@ class DetectionTrainer:
 
     def _build_dataset(self, data, split: str):
         return self.dataset_cls(
-            data, split=split, imgsz=self.imgsz, max_gt=self.max_gt, augment=split == "train", hyp=self.hyp
+            data, split=split, imgsz=self.imgsz, max_gt=self.max_gt, augment=split == "train", hyp=self.hyp,
+            cache=getattr(self, "cache", None),
         )
 
     def _build_validator(self):
