@@ -83,6 +83,43 @@ head:
 """
 
 
+CLS_TEMPLATE = """# YOLO-Master {gen} classification — generated (scripts/gen_yaml_zoo.py).
+# Graph parity: reference cfg/models/master/{gen}/cls/yolo-master-n.yaml
+# (MoE backbone + Classify head; reference keeps nc=1000 ImageNet default).
+
+nc: 1000
+scales:
+  n: [0.50, 0.25, 1024]
+  s: [0.50, 0.50, 1024]
+  m: [0.50, 1.00, 512]
+  l: [1.00, 1.00, 512]
+  x: [1.00, 1.50, 512]
+
+backbone:
+  - [-1, 1, Conv, [64, 3, 2]]            # 0  P1/2
+  - [-1, 1, Conv, [128, 3, 2]]           # 1  P2/4
+  - [-1, 2, C3k2, [256, False, 0.25]]    # 2
+  - [-1, 1, Conv, [256, 3, 2]]           # 3  P3/8
+  - [-1, 2, C3k2, [512, False, 0.25]]    # 4
+  - [-1, 1, {block}, [512, 4, 2{args}]]    # 5
+  - [-1, 1, Conv, [512, 3, 2]]           # 6  P4/16
+  - [-1, 4, A2C2f, [512, True, 4]]       # 7
+  - [-1, 1, {block}, [512, 8, 2{args}]]    # 8
+  - [-1, 1, Conv, [1024, 3, 2]]          # 9  P5/32
+  - [-1, 4, A2C2f, [1024, True, 1]]      # 10
+  - [-1, 1, {block}, [1024, 16, 2{args}]]  # 11
+
+head:
+  - [-1, 1, Classify, [nc]]              # 12
+"""
+
+# generations with per-task reference files (cfg/models/master/<gen>/{seg,...})
+TASK_GENERATIONS = {
+    **GENERATIONS,
+    "v0_10": ("VisualEnhancedAdaptiveGateMoE", ", 0.5"),
+}
+
+
 def main():
     written = []
     for gen, (block, args) in GENERATIONS.items():
@@ -92,14 +129,19 @@ def main():
         path = OUT / f"yolo-master-{gen}.yaml"
         path.write_text(text)
         written.append(path.name)
-    # v0_10 task variants (the released-weights generation has per-task files,
-    # reference cfg/models/master/v0_10/{seg,pose,obb,cls}/)
-    block, args = "VisualEnhancedAdaptiveGateMoE", ", 0.5"
-    for task in ("seg", "pose", "obb"):
-        kpt = "kpt_shape: [17, 3]\n" if task == "pose" else ""
-        text = TEMPLATE.format(gen="v0_10", block=block, args=args, kpt=kpt,
-                               argnote=", split_ratio", head=HEADS[task])
-        path = OUT / f"yolo-master-v0_10-{task}.yaml"
+    # per-generation task variants (reference cfg/models/master/<gen>/{seg,
+    # pose,obb,cls}/ — every generation ships the full task spread)
+    for gen, (block, args) in TASK_GENERATIONS.items():
+        for task in ("seg", "pose", "obb"):
+            kpt = "kpt_shape: [17, 3]\n" if task == "pose" else ""
+            text = TEMPLATE.format(gen=gen, block=block, args=args, kpt=kpt,
+                                   argnote=args and ", split_ratio" or "",
+                                   head=HEADS[task])
+            path = OUT / f"yolo-master-{gen}-{task}.yaml"
+            path.write_text(text)
+            written.append(path.name)
+        text = CLS_TEMPLATE.format(gen=gen, block=block, args=args)
+        path = OUT / f"yolo-master-{gen}-cls.yaml"
         path.write_text(text)
         written.append(path.name)
     print(f"wrote {len(written)} YAMLs:", ", ".join(written))

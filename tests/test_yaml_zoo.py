@@ -14,19 +14,20 @@ ALL_YAMLS = sorted(p.stem for p in ZOO.glob("*.yaml"))
 
 # facade-routed families that DetectionModel cannot build directly
 SPECIAL = {
-    "yolo-master-cls": "classify",
-    "yolo-master-seg": "segment",
-    "yolo-master-pose": "pose",
-    "yolo-master-obb": "obb",
     "yolo-master-semantic": "semantic",
     "yolo-master-world": "world",
     "yolo-master-yoloe": "yoloe",
-    "yolo-master-v0_10-seg": "segment",
-    "yolo-master-v0_10-pose": "pose",
-    "yolo-master-v0_10-obb": "obb",
     "rtdetr-master": "rtdetr",
     "rtdetr-master-hgnet": "rtdetr",
 }
+_SUFFIX_TASKS = {"cls": "classify", "seg": "segment", "pose": "pose", "obb": "obb"}
+
+
+def _task_of(stem: str) -> str:
+    if stem in SPECIAL:
+        return SPECIAL[stem]
+    tail = stem.rsplit("-", 1)[-1]
+    return _SUFFIX_TASKS.get(tail, "detect")
 
 
 def _scales(stem: str):
@@ -39,7 +40,7 @@ def _scales(stem: str):
 def _build(stem: str, scale: str):
     from yolo_master_tpu.nn import tasks
 
-    task = SPECIAL.get(stem, "detect")
+    task = _task_of(stem)
     if scale not in _scales(stem):
         scale = _scales(stem)[0]  # e.g. rtdetr-hgnet ships only 'l'
     name = f"{stem}-{scale}"
@@ -68,7 +69,9 @@ def test_yaml_builds_and_forwards_n(stem):
     assert bool(jnp.isfinite(leaves).all()), f"{stem}-n produced non-finite output"
 
 
-GENERATION_YAMLS = [s for s in ALL_YAMLS if "v0_" in s and s not in SPECIAL]
+# s/l compound-scale sweep: det rows only (task variants share the graph, so
+# scaling is already covered; keeps the slow sweep ~4x smaller)
+GENERATION_YAMLS = [s for s in ALL_YAMLS if "v0_" in s and s not in SPECIAL and _task_of(s) == "detect"]
 
 
 @pytest.mark.slow
