@@ -134,3 +134,31 @@ def test_batched_nms_via_public_api():
         )
         for key in ("boxes", "scores", "classes", "valid"):
             assert np.allclose(np.asarray(batched[key][i]), np.asarray(single[key]), atol=1e-6), (key, i)
+
+
+def test_pallas_batched_cw_nms_matches_scan_interpret():
+    """Batched CW-NMS kernel: fused boxes/scores/seeds must equal the scan's
+    per image, including rows exhausting at different steps."""
+    from yolo_master_tpu.ops.nms import _greedy_cw_nms
+    from yolo_master_tpu.ops.pallas_nms import pallas_batched_cw_nms
+
+    rng = np.random.default_rng(17)
+    b, n, max_det = 4, 128, 32
+    xy = rng.uniform(0, 400, (b, n, 2))
+    wh = rng.uniform(10, 90, (b, n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    scores = np.zeros((b, n), np.float32)
+    for i, nv in enumerate([n, 5, 0, 20]):
+        if nv:
+            scores[i, rng.choice(n, nv, replace=False)] = rng.uniform(0.1, 1.0, nv)
+    scores = jnp.asarray(scores)
+    for weighted in (True, False):
+        fb, fs, seed, valid = pallas_batched_cw_nms(
+            boxes, scores, 0.45, max_det, sigma=0.1, weighted_iou=weighted, interpret=True)
+        for i in range(b):
+            sb, ss, sseed, svalid = _greedy_cw_nms(boxes[i], scores[i], 0.45, max_det, 0.1, weighted)
+            v = np.asarray(svalid)
+            assert np.array_equal(np.asarray(valid[i]), v), (i, weighted)
+            assert np.allclose(np.asarray(fb[i])[v], np.asarray(sb)[v], atol=1e-4), (i, weighted)
+            assert np.allclose(np.asarray(fs[i])[v], np.asarray(ss)[v], atol=1e-6), (i, weighted)
+            assert np.array_equal(np.asarray(seed[i])[v], np.asarray(sseed)[v]), (i, weighted)

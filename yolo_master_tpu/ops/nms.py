@@ -261,7 +261,7 @@ def _greedy_cw_nms(boxes, scores, iou_thres, max_det, sigma=0.1, weighted_iou=Tr
 
 @partial(
     jax.jit,
-    static_argnames=("nc", "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "sigma", "weighted_iou"),
+    static_argnames=("nc", "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "sigma", "weighted_iou", "use_pallas"),
 )
 def cluster_weighted_nms(
     prediction: jnp.ndarray,
@@ -273,29 +273,40 @@ def cluster_weighted_nms(
     agnostic: bool = False,
     sigma: float = 0.1,
     weighted_iou: bool = True,
+    use_pallas: Optional[bool] = None,
 ):
     """Batched CW-NMS over decoded predictions [B, A, 4+nc] (xywh boxes)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
 
-    def single(pred):
+    def prep(pred):
         boxes = xywh2xyxy(pred[:, :4])
         cls_scores = pred[:, 4 : 4 + nc]
         conf = jnp.max(cls_scores, axis=-1)
         k = min(max_nms, pred.shape[0])
         scores, anchor_idx = jax.lax.top_k(conf, k)
         cls_idx = jnp.argmax(cls_scores[anchor_idx], axis=-1).astype(jnp.float32)
-        cboxes = boxes[anchor_idx]
         scores = jnp.where(scores > conf_thres, scores, 0.0)
-        offset = 0.0 if agnostic else cls_idx[:, None] * MAX_WH
-        fused, fscores, seed, valid = _greedy_cw_nms(
-            cboxes + offset, scores.astype(jnp.float32), iou_thres, max_det, sigma, weighted_iou
-        )
-        out_cls = jnp.where(valid, cls_idx[seed], -1.0)
-        fused = fused - (0.0 if agnostic else out_cls[:, None] * MAX_WH) * valid[:, None]
-        return {
-            "boxes": fused * valid[:, None],
-            "scores": fscores * valid,
-            "classes": out_cls,
-            "valid": valid,
-        }
+        return boxes[anchor_idx], scores.astype(jnp.float32), cls_idx
 
-    return jax.vmap(single)(prediction)
+    cboxes, scores, cls_idx = jax.vmap(prep)(prediction)  # [B, k, ...]
+    offset = 0.0 if agnostic else cls_idx[..., None] * MAX_WH
+    if use_pallas:
+        from .pallas_nms import pallas_batched_cw_nms
+
+        fused, fscores, seed, valid = pallas_batched_cw_nms(
+            cboxes + offset, scores, iou_thres, max_det, sigma, weighted_iou
+        )
+    else:
+        fused, fscores, seed, valid = jax.vmap(
+            partial(_greedy_cw_nms, iou_thres=iou_thres, max_det=max_det,
+                    sigma=sigma, weighted_iou=weighted_iou)
+        )(cboxes + offset, scores)
+    out_cls = jnp.where(valid, jnp.take_along_axis(cls_idx, seed, 1), -1.0)
+    fused = fused - (0.0 if agnostic else out_cls[..., None] * MAX_WH) * valid[..., None]
+    return {
+        "boxes": fused * valid[..., None],
+        "scores": fscores * valid,
+        "classes": out_cls,
+        "valid": valid,
+    }

@@ -146,6 +146,101 @@ def pallas_batched_greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres
     return keep_idx[:, :max_det], keep_valid[:, :max_det].astype(bool)
 
 
+def _batched_cw_nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
+                           fx1_ref, fy1_ref, fx2_ref, fy2_ref,
+                           fscore_ref, seed_ref, valid_ref, alive_ref, flag_ref,
+                           iou_thres: float, max_det: int, sigma: float,
+                           weighted_iou: bool):
+    """Batched Cluster-Weighted NMS in lockstep (ops.nms._greedy_cw_nms math):
+    per step each image's best candidate seeds a cluster (IoU > thres among
+    still-alive boxes); the output box is the Gaussian-IoU- (or plain-IoU-)
+    score-weighted average of the cluster. Fused coords land in four [B, D]
+    planes via the same one-hot det-lane accumulation as the hard-NMS kernel.
+    """
+    b, n = scores_ref.shape
+    alive_ref[:] = scores_ref[:]
+    flag_ref[0] = 1
+    for ref in (fx1_ref, fy1_ref, fx2_ref, fy2_ref, fscore_ref):
+        ref[:] = jnp.zeros_like(ref)
+    seed_ref[:] = jnp.zeros_like(seed_ref)
+    valid_ref[:] = jnp.zeros_like(valid_ref)
+    x1, y1, x2, y2 = x1_ref[:], y1_ref[:], x2_ref[:], y2_ref[:]
+    areas = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    det_lane = jax.lax.broadcasted_iota(jnp.int32, (b, fscore_ref.shape[1]), 1)
+
+    def body(i, _):
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            alive = alive_ref[:]
+            best = jnp.max(alive, axis=1, keepdims=True)  # [B,1]
+            idx = jnp.argmax(alive, axis=1)[:, None].astype(jnp.int32)
+            valid = best > 0.0
+            sel = lane == idx
+            bx1 = jnp.sum(jnp.where(sel, x1, 0.0), axis=1, keepdims=True)
+            by1 = jnp.sum(jnp.where(sel, y1, 0.0), axis=1, keepdims=True)
+            bx2 = jnp.sum(jnp.where(sel, x2, 0.0), axis=1, keepdims=True)
+            by2 = jnp.sum(jnp.where(sel, y2, 0.0), axis=1, keepdims=True)
+            barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+            iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+            ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+            inter = iw * ih
+            iou = inter / (areas + barea - inter + 1e-7)
+            member = ((iou > iou_thres) | sel) & (alive > 0.0)
+            if weighted_iou:
+                w = alive * jnp.exp(-((1.0 - iou) ** 2) / sigma) * member
+            else:
+                w = alive * iou * member
+            denom = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)  # [B,1]
+            fx1 = jnp.sum(x1 * w, axis=1, keepdims=True) / denom
+            fy1 = jnp.sum(y1 * w, axis=1, keepdims=True) / denom
+            fx2 = jnp.sum(x2 * w, axis=1, keepdims=True) / denom
+            fy2 = jnp.sum(y2 * w, axis=1, keepdims=True) / denom
+            alive_ref[:] = jnp.where(valid & member, 0.0, alive)
+            write = (det_lane == i) & valid
+            fx1_ref[:] = fx1_ref[:] + jnp.where(write, fx1, 0.0)
+            fy1_ref[:] = fy1_ref[:] + jnp.where(write, fy1, 0.0)
+            fx2_ref[:] = fx2_ref[:] + jnp.where(write, fx2, 0.0)
+            fy2_ref[:] = fy2_ref[:] + jnp.where(write, fy2, 0.0)
+            fscore_ref[:] = fscore_ref[:] + jnp.where(write, best, 0.0)
+            seed_ref[:] = seed_ref[:] + jnp.where(write, idx, 0)
+            valid_ref[:] = valid_ref[:] + jnp.where(write, 1, 0)
+            flag_ref[0] = jnp.any(valid).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, max_det, body, 0)
+
+
+@partial(jax.jit, static_argnames=("iou_thres", "max_det", "sigma", "weighted_iou", "interpret"))
+def pallas_batched_cw_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
+                          max_det: int, sigma: float = 0.1, weighted_iou: bool = True,
+                          interpret: bool = False):
+    """Batched CW-NMS: boxes [B, N, 4] xyxy (class-offset applied), scores
+    [B, N]. Per image equals ops.nms._greedy_cw_nms. Returns fused boxes
+    [B, max_det, 4], scores [B, max_det], seed idx [B, max_det] int32,
+    valid [B, max_det] bool.
+    """
+    b, n = scores.shape
+    bf = boxes.astype(jnp.float32)
+    det_pad = -(-max_det // 128) * 128
+    outs = pl.pallas_call(
+        partial(_batched_cw_nms_kernel, iou_thres=iou_thres, max_det=max_det,
+                sigma=sigma, weighted_iou=weighted_iou),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((b, det_pad), jnp.float32)] * 5
+            + [jax.ShapeDtypeStruct((b, det_pad), jnp.int32)] * 2
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32), pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(bf[..., 0], bf[..., 1], bf[..., 2], bf[..., 3], scores.astype(jnp.float32))
+    fx1, fy1, fx2, fy2, fscore, seed, valid = (o[:, :max_det] for o in outs)
+    fused = jnp.stack([fx1, fy1, fx2, fy2], -1)
+    return fused, fscore, seed, valid.astype(bool)
+
+
 @partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
 def pallas_greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int,
                       interpret: bool = False):
