@@ -428,3 +428,80 @@ class SAM2:
 
     def __call__(self, source, points=None, labels=None, **kw):
         return self.predictor(source, points=points, labels=labels, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Streaming VOS evaluation (DAVIS-style J&F over a propagated video)
+# ---------------------------------------------------------------------------
+
+def region_similarity(pred: np.ndarray, gt: np.ndarray) -> float:
+    """J = mask IoU (DAVIS region similarity)."""
+    pred, gt = pred.astype(bool), gt.astype(bool)
+    union = np.logical_or(pred, gt).sum()
+    if union == 0:
+        return 1.0  # both empty: perfect agreement
+    return float(np.logical_and(pred, gt).sum() / union)
+
+
+def boundary_f_measure(pred: np.ndarray, gt: np.ndarray, tol: int = 2) -> float:
+    """F = boundary precision/recall F-measure with a tol-pixel band
+    (DAVIS contour accuracy; morphological approximation of the official
+    bipartite boundary matching)."""
+    import cv2
+
+    pred, gt = pred.astype(np.uint8), gt.astype(np.uint8)
+
+    def boundary(m):
+        er = cv2.erode(m, np.ones((3, 3), np.uint8))
+        return (m ^ er).astype(bool)
+
+    bp, bg = boundary(pred), boundary(gt)
+    if not bp.any() and not bg.any():
+        return 1.0
+    if not bp.any() or not bg.any():
+        return 0.0
+    kernel = np.ones((2 * tol + 1, 2 * tol + 1), np.uint8)
+    bg_band = cv2.dilate(bg.astype(np.uint8), kernel).astype(bool)
+    bp_band = cv2.dilate(bp.astype(np.uint8), kernel).astype(bool)
+    precision = (bp & bg_band).sum() / bp.sum()
+    recall = (bg & bp_band).sum() / bg.sum()
+    if precision + recall == 0:
+        return 0.0
+    return float(2 * precision * recall / (precision + recall))
+
+
+def evaluate_vos(predictor: SAM2VideoPredictor, frames, gt_masks,
+                 points=None, labels=None, tol: int = 2) -> dict:
+    """Streaming VOS eval: prompt on frame 0 (from the GT mask centroid when
+    no points are given), propagate through the rest, score per-frame J/F.
+
+    Args:
+        frames: iterable of BGR uint8 frames.
+        gt_masks: same-length iterable of bool masks.
+
+    Returns:
+        {"J": mean region similarity, "F": mean boundary F, "J&F": mean of
+         both, "per_frame": [(J_i, F_i), ...]} over the propagated frames
+        (the prompted frame 0 is scored too, matching DAVIS semi-supervised
+        protocol's exclusion only of the annotated first frame from ranking —
+        we report it inside per_frame[0] but J/F means skip it).
+    """
+    predictor.reset()
+    per_frame = []
+    for i, (frame, gt) in enumerate(zip(frames, gt_masks)):
+        gt = np.asarray(gt, bool)
+        if i == 0:
+            if points is None:
+                ys, xs = np.nonzero(gt)
+                if len(xs) == 0:
+                    raise ValueError("frame-0 GT mask is empty; provide points")
+                points = [(float(xs.mean()), float(ys.mean()))]
+                labels = [1]
+            mask, _ = predictor.add_prompt(frame, points, labels or [1] * len(points))
+        else:
+            mask, _ = predictor.propagate(frame)
+        per_frame.append((region_similarity(mask, gt), boundary_f_measure(mask, gt, tol)))
+    js = [j for j, _ in per_frame[1:]] or [per_frame[0][0]]
+    fs = [f for _, f in per_frame[1:]] or [per_frame[0][1]]
+    j_mean, f_mean = float(np.mean(js)), float(np.mean(fs))
+    return {"J": j_mean, "F": f_mean, "J&F": (j_mean + f_mean) / 2, "per_frame": per_frame}
