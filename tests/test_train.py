@@ -172,3 +172,35 @@ def test_train_adamw_accumulate_bf16(synth_dataset, tmp_path):
     v = DetectionValidator(model=model, data=synth_dataset, imgsz=96, batch=8, max_gt=8)
     m = v(params=trainer.state.ema_params)
     assert m["mAP50"] > 0.3, f"AdamW+accumulate+bf16 training failed to learn: {m}"
+
+
+def test_multitrainer_dataset_series(synth_dataset, tmp_path):
+    """data=[a, b] fine-tunes one base model per dataset in series
+    (reference MultiTrainer, engine/trainer.py:1564 / model.py:872)."""
+    import json
+
+    from yolo_master_tpu.models.yolo import YOLO
+
+    import jax
+    import jax.numpy as jnp
+
+    yolo = YOLO(dict(MINI_CFG), task="detect", nc=2)
+    base_snapshot = jax.tree_util.tree_map(jnp.copy, yolo.params)
+    sweep = tmp_path / "multi"
+    out = yolo.train(
+        data=[synth_dataset, synth_dataset],  # repeat dataset -> deduped run name
+        epochs=1, batch=8, imgsz=96, max_gt=8, optimizer="SGD",
+        warmup_epochs=0, nbs=8, amp=False, val=False,
+        hyp={"mosaic": 0.0}, save_dir=str(sweep),
+    )
+    names = list(out)
+    assert len(names) == 2 and names[1] == names[0] + "-2"
+    assert all("error" not in m for m in out.values())
+    payload = json.loads((sweep / "multitrain_results.json").read_text())
+    assert set(payload["runs"]) == set(names) and payload["mean"]
+    assert (sweep / "multitrain_results.png").exists()
+    for n in names:
+        assert (sweep / n / "last.npz").exists()
+    # base model left unchanged after the sweep (runs trained on copies)
+    for a, b in zip(jax.tree_util.tree_leaves(yolo.params), jax.tree_util.tree_leaves(base_snapshot)):
+        assert jnp.array_equal(a, b)

@@ -372,3 +372,84 @@ class DetectionTrainer:
             self.yolo.params = self.state.ema_params
         metrics_out["best_fitness"] = best_fitness
         return metrics_out
+
+
+class MultiTrainer:
+    """Fine-tune one base model across a collection of datasets in series
+    (reference: engine/trainer.py:1564 MultiTrainer, triggered by
+    ``Model.train(data=[...])`` at engine/model.py:872).
+
+    Every run is seeded from the SAME base weights (functional pytrees make
+    this trivial — we just hold a reference to the immutable base params), runs
+    are nested under one sweep directory, and per-dataset + mean metrics are
+    written to ``multitrain_results.json`` beside a ``multitrain_results.png``
+    fitness bar chart. The facade's params are restored to the base afterwards;
+    each dataset's fine-tuned weights live in its own run subdirectory.
+    """
+
+    def __init__(self, yolo, datasets, trainer_cls=None, save_dir: str = "runs/multitrain", **kwargs):
+        from .trainers_task import TASK_TRAINERS
+
+        self.yolo = yolo
+        self.datasets = list(datasets)
+        self.trainer_cls = trainer_cls or TASK_TRAINERS[yolo.task]
+        self.save_dir = Path(save_dir)
+        self.kwargs = kwargs
+        self.metrics: Dict[str, Dict[str, float]] = {}
+
+    def train(self) -> Dict[str, Dict[str, float]]:
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        # Identical seed for every run. The jitted train step DONATES the param
+        # buffers, so each run gets its own device copy of the base snapshot.
+        base_params = jax.tree_util.tree_map(jnp.copy, self.yolo.params)
+        names: list = []
+        for i, data in enumerate(self.datasets):
+            stem = Path(str(data)).stem or f"dataset{i}"
+            name = stem
+            k = 2
+            while name in names:  # reference dedupes repeat datasets as name-2, name-3, ...
+                name, k = f"{stem}-{k}", k + 1
+            names.append(name)
+            LOGGER.info(f"MultiTrainer {i + 1}/{len(self.datasets)}: fine-tuning on {data}")
+            self.yolo.params = jax.tree_util.tree_map(jnp.copy, base_params)
+            try:
+                trainer = self.trainer_cls(self.yolo, data=data, save_dir=str(self.save_dir / name), **self.kwargs)
+                out = trainer.train()
+                self.metrics[name] = {k_: float(v) for k_, v in out.items() if isinstance(v, (int, float))}
+            except Exception as e:  # noqa: BLE001 — one bad dataset must not sink the sweep
+                LOGGER.warning(f"MultiTrainer: run '{name}' failed: {e}")
+                self.metrics[name] = {"error": 1.0}
+        self.yolo.params = base_params  # base model object left unchanged
+        ok = {n: m for n, m in self.metrics.items() if "error" not in m}
+        keys = sorted({k for m in ok.values() for k in m}) if ok else []
+        mean = {k: float(np.mean([m[k] for m in ok.values() if k in m])) for k in keys}
+        payload = {"runs": self.metrics, "mean": mean}
+        import json
+
+        (self.save_dir / "multitrain_results.json").write_text(json.dumps(payload, indent=2))
+        self._plot(ok)
+        return self.metrics
+
+    def _plot(self, ok: Dict[str, Dict[str, float]]) -> None:
+        """multitrain_results.png — per-dataset fitness bar chart (best-effort)."""
+        if not ok:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            names = list(ok)
+            fits = [ok[n].get("best_fitness", ok[n].get("fitness", 0.0)) for n in names]
+            fig, ax = plt.subplots(figsize=(max(4, 1.2 * len(names)), 4))
+            ax.bar(names, fits, color="#4878cf")
+            ax.set_ylabel("fitness")
+            ax.set_title("MultiTrainer per-dataset fitness")
+            for lbl in ax.get_xticklabels():
+                lbl.set_rotation(30)
+            fig.tight_layout()
+            fig.savefig(self.save_dir / "multitrain_results.png", dpi=100)
+            plt.close(fig)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"MultiTrainer: plot skipped: {e}")

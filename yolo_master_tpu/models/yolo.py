@@ -176,13 +176,25 @@ class YOLO:
 
     # -- training / validation (engine milestones) -------------------------------
     def train(self, **kwargs):
-        """Per-task trainer dispatch (reference task_map, models/yolo/model.py:88)."""
+        """Per-task trainer dispatch (reference task_map, models/yolo/model.py:88).
+
+        When ``data`` is a list/tuple the base model is fine-tuned on each
+        dataset in series and a ``{dataset: metrics}`` dict is returned
+        (reference MultiTrainer, engine/model.py:872-883)."""
         from ..engine.trainers_task import TASK_TRAINERS
 
         task = self.task
         trainer_cls = TASK_TRAINERS.get(task)
         if trainer_cls is None:
             raise NotImplementedError(f"no trainer for task '{self.task}'")
+        data = kwargs.get("data")
+        if isinstance(data, (list, tuple)):
+            from ..engine.trainer import MultiTrainer
+
+            kwargs = dict(kwargs)
+            kwargs.pop("data")
+            save_dir = kwargs.pop("save_dir", "runs/multitrain")
+            return MultiTrainer(self, data, trainer_cls=trainer_cls, save_dir=save_dir, **kwargs).train()
         trainer = trainer_cls(self, **kwargs)
         return trainer.train()
 
