@@ -200,3 +200,44 @@ def test_tqdm_and_checks():
     check_suffix("m.tflite", [".tflite"])
     with pytest.raises(ValueError, match="suffix"):
         check_suffix("m.onnx", [".tflite"])
+
+
+def test_dataset_zoo_name_resolution(tmp_path, monkeypatch):
+    """data="VisDrone.yaml" resolves to the bundled config; a relative `path:`
+    falls back to settings datasets_dir (reference checks.py check_file)."""
+    import numpy as np
+
+    from yolo_master_tpu.data.dataset import (
+        DATASETS_ZOO,
+        YOLODataset,
+        resolve_data_yaml,
+        resolve_dataset_root,
+    )
+
+    # zoo is populated and every config parses with names/nc consistent
+    import yaml as _yaml
+    zoo = sorted(DATASETS_ZOO.glob("*.yaml"))
+    assert len(zoo) >= 30
+    for f in zoo:
+        cfg = _yaml.safe_load(f.read_text())
+        assert cfg.get("val") or cfg.get("train"), f.name
+        assert len(cfg["names"]) == cfg["nc"], f.name
+
+    assert resolve_data_yaml("VisDrone.yaml") == DATASETS_ZOO / "VisDrone.yaml"
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        resolve_data_yaml("not-a-dataset.yaml")
+
+    # relative path: resolves against settings datasets_dir when not local
+    import yolo_master_tpu.utils.settings as S
+    monkeypatch.setattr(S, "_SETTINGS", {"datasets_dir": str(tmp_path)})
+    root = tmp_path / "VisDrone"
+    (root / "images/val").mkdir(parents=True)
+    (root / "labels/val").mkdir(parents=True)
+    import cv2
+    cv2.imwrite(str(root / "images/val/0.jpg"), np.full((32, 32, 3), 99, np.uint8))
+    (root / "labels/val/0.txt").write_text("3 0.5 0.5 0.5 0.5")
+    cfg = _yaml.safe_load((DATASETS_ZOO / "VisDrone.yaml").read_text())
+    assert resolve_dataset_root(cfg, DATASETS_ZOO / "VisDrone.yaml") == root
+    ds = YOLODataset("VisDrone.yaml", split="val", imgsz=32, max_gt=4)
+    assert len(ds.img_files) == 1 and ds.nc == 10 and ds.names[3] == "car"

@@ -25,6 +25,41 @@ from .letterbox import letterbox
 IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 
 
+DATASETS_ZOO = Path(__file__).resolve().parent.parent / "cfg" / "datasets"
+
+
+def resolve_data_yaml(data: str | Path) -> Path:
+    """Resolve a dataset yaml by path or by zoo name (reference: check_file in
+    ultralytics/utils/checks.py — ``data="VisDrone.yaml"`` finds the bundled
+    config when no local file matches)."""
+    p = Path(data)
+    if p.exists():
+        return p
+    zoo = DATASETS_ZOO / p.name
+    if p.suffix in (".yaml", ".yml") and len(p.parts) == 1 and zoo.exists():
+        return zoo
+    raise FileNotFoundError(
+        f"dataset yaml '{data}' not found (not a file, and no bundled config named "
+        f"'{p.name}' under {DATASETS_ZOO})"
+    )
+
+
+def resolve_dataset_root(cfg: dict, yaml_path: Path) -> Path:
+    """Dataset root: absolute `path:` as-is; relative tried against the yaml's
+    directory, then against the settings ``datasets_dir`` (the reference's
+    convention for bundled configs whose data lives under ~/datasets)."""
+    root = Path(cfg.get("path", yaml_path.parent))
+    if root.is_absolute():
+        return root
+    local = yaml_path.parent / root
+    if local.exists():
+        return local
+    from ..utils.settings import get_settings
+
+    shared = Path(get_settings()["datasets_dir"]) / root
+    return shared if shared.exists() else local
+
+
 def img2label_path(img_path: str) -> str:
     """images/... -> labels/... with .txt (reference data/utils.py)."""
     p = Path(img_path)
@@ -42,11 +77,9 @@ class YOLODataset:
     def __init__(self, data: str | dict, split: str = "train", imgsz: int = 640, max_gt: int = 128,
                  augment: bool = False, hyp: Optional[dict] = None, cache: Optional[str] = None):
         if isinstance(data, (str, Path)):
-            yaml_path = Path(data)
+            yaml_path = resolve_data_yaml(data)
             cfg = yaml_load(yaml_path)
-            root = Path(cfg.get("path", yaml_path.parent))
-            if not root.is_absolute():
-                root = yaml_path.parent / root
+            root = resolve_dataset_root(cfg, yaml_path)
         else:
             cfg = dict(data)
             root = Path(cfg.get("path", "."))

@@ -59,3 +59,15 @@ class SettingsManager(dict):
         self.clear()
         super().update(DEFAULTS)
         self.save()
+
+
+_SETTINGS: SettingsManager | None = None
+
+
+def get_settings() -> SettingsManager:
+    """Process-wide settings singleton (reference: the module-level SETTINGS
+    instance, ultralytics/utils/__init__.py:1505)."""
+    global _SETTINGS
+    if _SETTINGS is None:
+        _SETTINGS = SettingsManager()
+    return _SETTINGS
