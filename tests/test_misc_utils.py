@@ -116,3 +116,23 @@ def test_profile_models_tiny():
     r = rows[0]
     assert r["params_m"] > 0.5 and r["gflops"] > 0
     assert r["latency_ms_median"] > 0 and r["compile_s"] > 0
+
+
+def test_build_reference_docs(tmp_path, monkeypatch):
+    """docs/build_reference.py renders one markdown page per module + index
+    (reference docs/build_reference.py analog, AST-based)."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("buildref", repo / "docs/build_reference.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "OUT", tmp_path)
+    assert mod.main() == 0
+    pages = list(tmp_path.glob("*.md"))
+    assert len(pages) > 80
+    idx = (tmp_path / "index.md").read_text()
+    assert "yolo_master_tpu.models.yolo" in idx
+    facade = (tmp_path / "yolo_master_tpu_models_yolo.md").read_text()
+    assert "class `YOLO`" in facade and "train" in facade
