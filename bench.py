@@ -75,7 +75,10 @@ def main():
     bt21 = timed(make_chained(21, 16), 16)
     thr = 16.0 / ((bt21 - bt1) / 20)
 
-    train = train_row()
+    try:
+        train = train_row()
+    except Exception as e:  # noqa: BLE001 — training row must never sink the headline metric
+        train = f"error: {e}"
 
     baseline_ms = 1.62  # reference YOLO-Master-N published latency
     print(

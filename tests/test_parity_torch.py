@@ -347,3 +347,49 @@ def test_hgnet_blocks_parity(torch_reference):
         outb = np.asarray(jb(pb, jnp.asarray(xb), Context(training=False)))
         err = np.abs(outb - refb).max()
         assert err < 2e-5, f"HGBlock(light={light}) maxerr {err}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("gen,block", [
+    ("v0_5", "FusedAdaptiveGateMoE"),
+    ("v0_9", "DetailAwareLowRankHybridAdaptiveGateMoE"),
+    ("v0_13", "MultiHeadRouterMoE"),
+    ("v0_14", "DiversifiedExpertMoE"),
+    ("v0_15", "GatedFusionMoE"),
+])
+def test_generation_block_parity(torch_reference, gen, block):
+    """Decoded-output parity for the four generation blocks added in round 3
+    (Fused v0.5, DetailAwareLowRankHybrid v0.9, MultiHeadRouter v0.13,
+    DiversifiedExpert v0.14) — same weight-import harness as the v0_10 gate
+    (reference cfg/models/master/<gen>/det/yolo-master-n.yaml)."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as TorchModel
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import DetectionModel as JaxModel
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    tm = TorchModel(
+        f"/root/reference/ultralytics/cfg/models/master/{gen}/det/yolo-master-n.yaml", verbose=False
+    )
+    tm.eval()
+    assert any(type(m).__name__ == block for m in tm.modules()), f"{gen} yaml no longer uses {block}"
+    jm = JaxModel(f"yolo-master-{gen}-n")
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()
+
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    jy = np.asarray(jm.forward_predict(params, jx, Context(training=False))).transpose(0, 2, 1)
+    assert ty.shape == jy.shape
+    box_err = np.abs(ty[:, :4] - jy[:, :4]).max()
+    score_err = np.abs(ty[:, 4:] - jy[:, 4:]).max()
+    assert box_err < 5e-3, f"{gen} box decode mismatch: {box_err}"
+    assert score_err < 1e-5, f"{gen} score mismatch: {score_err}"

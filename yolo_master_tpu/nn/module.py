@@ -103,6 +103,12 @@ class Module:
                 del ch[name]
         object.__setattr__(self, name, value)
 
+    def __delattr__(self, name: str) -> None:
+        ch = self.__dict__.get("_children")
+        if ch is not None and name in ch:
+            del ch[name]
+        object.__delattr__(self, name)
+
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
         """Default init: recursively init registered children."""

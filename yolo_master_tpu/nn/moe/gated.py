@@ -93,7 +93,8 @@ class DualStreamGateRouter(Module):
 
     def init(self, key) -> Params:
         p = super().init(key)
-        p["global_fc"]["w"] = 0.05 * jax.random.normal(key, p["global_fc"]["w"].shape)
+        if "global_fc" in p:  # absent in MultiHeadRouterV3 (renamed global_proj)
+            p["global_fc"]["w"] = 0.05 * jax.random.normal(key, p["global_fc"]["w"].shape)
         p["alpha"] = jnp.asarray(0.5, jnp.float32)
         return p
 
@@ -364,6 +365,16 @@ class AdaptiveGateMoE(Module):
         """Hook for refine/context stages in subclasses."""
         return out_concat
 
+    def _fuse_paths(self, p, out_static, out_dynamic, x, ctx):
+        """Static/dynamic fusion hook — plain concat by default; v0.15's
+        GatedFusionMoE swaps in the CrossPathGate (gated.py:2672)."""
+        return jnp.concatenate([out_static, out_dynamic], -1)
+
+    def _pre_residual(self, p, out, ctx):
+        """Hook between projection-BN and the residual add — v0.15's gentle
+        drop-path lives here (gated.py:2684-2688)."""
+        return out
+
     def __call__(self, p, x, ctx: Context):
         xs, xd = self._se_split(p, x, ctx)
         dg = getattr(self, "detail_gate", None)
@@ -374,10 +385,10 @@ class AdaptiveGateMoE(Module):
         w, idx, stats = self.routing(p["routing"], xd, ctx, temperature=self._temperature(ctx))
         w = self._complexity_gate(w, complexity)
         out_dynamic = self.fused_experts(p["fused_experts"], xd, ctx, w, idx, self.top_k)
-        out = self._channel_shuffle(jnp.concatenate([out_static, out_dynamic], -1))
+        out = self._channel_shuffle(self._fuse_paths(p, out_static, out_dynamic, x, ctx))
         out = self._post_mix(p, out, ctx)
         out = self.proj(p["proj"], out, ctx)
-        out = self.bn(p["bn"], out, ctx) + x
+        out = self._pre_residual(p, self.bn(p["bn"], out, ctx), ctx) + x
         self._publish_aux(ctx, stats, w, idx)
         return out
 
@@ -560,15 +571,32 @@ class DetailAwareLowRankHybridAdaptiveGateMoE(LowRankHybridAdaptiveGateMoE):
         self.detail_gate = VisualDetailGate(self.dynamic_channels, reduction=detail_reduction)
 
 
-class OptimalHybridGateMoE(HybridAdaptiveGateMoEv2, _RefineMixin):
+class OptimalHybridGateMoE(HybridAdaptiveGateMoEv2):
     """v0.12 production synthesis: v0.6 core + v0.11 router + light DW refine
-    (gated.py:1892-2078)."""
+    (gated.py:1892-2078). The refine branch is NOT the v0.8 one: it is a
+    DW3x3+GroupNorm (no activation) times a global SE gate
+    (pool -> 1x1 (no bias) -> SiLU -> 1x1 (bias) -> sigmoid), residual-added
+    with tanh(refine_scale) (reference gated.py:1971-1999)."""
 
-    def __init__(self, *args, refine=True, refine_reduction=8, **kw):
-        super().__init__(*args, **kw)
+    def __init__(self, in_channels, out_channels, num_experts=4, top_k=2, split_ratio=0.5,
+                 num_groups=8, initial_temperature=1.2, final_temperature=0.5,
+                 balance_loss_coeff=1.0, router_z_loss_coeff=1.0, entropy_loss_coeff=0.01,
+                 fused_expert_threshold=8, shuffle_groups=2, refine=True, refine_reduction=8):
+        super().__init__(in_channels, out_channels, num_experts, top_k, split_ratio, num_groups,
+                         initial_temperature, final_temperature, balance_loss_coeff,
+                         router_z_loss_coeff, entropy_loss_coeff, fused_expert_threshold,
+                         shuffle_groups)
         self.refine_on = refine
         if refine:
-            self._build_refine(self.out_channels, refine_reduction=refine_reduction)
+            hid = max(self.out_channels // refine_reduction, 8)
+            self.refine_dw = ConvSeq(
+                PlainConv(self.out_channels, self.out_channels, 3, g=self.out_channels),
+                GroupNorm(self.out_channels, num_groups),
+            )
+            self.refine_gate = ConvSeq(
+                PlainConv(self.out_channels, hid, 1), _SiLUm(),
+                PlainConv(hid, self.out_channels, 1, bias=True),
+            )
 
     def init(self, key) -> Params:
         p = super().init(key)
@@ -577,7 +605,12 @@ class OptimalHybridGateMoE(HybridAdaptiveGateMoEv2, _RefineMixin):
         return p
 
     def _post_mix(self, p, out, ctx):
-        return self._refine(p, out, ctx) if self.refine_on else out
+        if not self.refine_on:
+            return out
+        gate_in = jnp.mean(out, axis=(1, 2), keepdims=True)
+        gate = jax.nn.sigmoid(self.refine_gate(p["refine_gate"], gate_in, ctx).astype(jnp.float32)).astype(out.dtype)
+        refined = self.refine_dw(p["refine_dw"], out, ctx) * gate
+        return out + jnp.tanh(p["refine_scale"]).astype(out.dtype) * refined
 
 
 class MultiHeadRouterV3(DualStreamGateRouterV2):
@@ -597,15 +630,18 @@ class MultiHeadRouterV3(DualStreamGateRouterV2):
         self.head_dim = max(stat_dim // self.num_heads, 4)
         self.expert_dropout = float(expert_dropout)
         self.heads = ModuleList([Linear(self.head_dim, num_experts, bias=False) for _ in range(self.num_heads)])
-        # global_fc doubles as the residual full-stats projection (reference
-        # global_proj); DualStreamGateRouter already owns it
+        # residual full-stats projection, named as the reference names it
+        # (global_proj — the torch V3 is NOT a DualStreamGateRouter subclass
+        # and has no global_fc; keeping its key makes weight import 1:1)
+        self.global_proj = self.global_fc
+        del self.global_fc
 
     def init(self, key) -> Params:
         p = super().init(key)
         ks = jax.random.split(key, self.num_heads + 1)
         for i in range(self.num_heads):
             p["heads"][str(i)]["w"] = 0.02 * jax.random.normal(ks[i], p["heads"][str(i)]["w"].shape)
-        p["global_fc"]["w"] = 0.02 * jax.random.normal(ks[-1], p["global_fc"]["w"].shape)
+        p["global_proj"]["w"] = 0.02 * jax.random.normal(ks[-1], p["global_proj"]["w"].shape)
         p["head_alpha"] = jnp.full((self.num_heads,), 1.0 / self.num_heads, jnp.float32)
         p["global_weight"] = jnp.asarray(0.1, jnp.float32)
         return p
@@ -621,7 +657,7 @@ class MultiHeadRouterV3(DualStreamGateRouterV2):
         need = self.head_dim * self.num_heads
         sp = jnp.pad(stats, ((0, 0), (0, max(need - stats.shape[1], 0))))[:, :need]
         chunks = sp.reshape(stats.shape[0], self.num_heads, self.head_dim)
-        logits = gw * self.global_fc(p["global_fc"], stats, ctx)
+        logits = gw * self.global_proj(p["global_proj"], stats, ctx)
         for i, h in enumerate(self.heads):
             logits = logits + (1 - gw) * hw[i] * h(p["heads"][str(i)], chunks[:, i], ctx)
         l = self._local_logits(p, x, ctx)
@@ -732,18 +768,67 @@ class DiversifiedExpertMoE(OptimalHybridGateMoE):
         )
 
 
-class GatedFusionMoE(OptimalHybridGateMoE):
-    """v0.13: static/dynamic fusion by a learned spatial gate instead of plain
-    concat (gated.py:2585-2719 — dense-base + sparse-refine semantics)."""
+class CrossPathGate(Module):
+    """v0.15 learnable cross-path fusion (reference gated.py:2398-2477): a
+    channel gate computed from BOTH paths' pooled statistics modulates each
+    path before concat. Conservative residual design — the last gate layer is
+    zero-init and gate_scale starts at 0, so fusion == plain concat at init:
+    gate = 0.5 + tanh(gate_scale) * 0.5 * sigmoid(raw)."""
 
-    def __init__(self, *args, **kw):
-        super().__init__(*args, **kw)
-        self.fusion_gate = ConvSeq(
-            PlainConv(self.out_channels, max(self.out_channels // 8, 8), 1), _SiLUm(),
-            PlainConv(max(self.out_channels // 8, 8), self.out_channels, 1, bias=True),
+    def __init__(self, static_channels, dynamic_channels, out_channels, drop_prob=0.05):
+        super().__init__()
+        self.static_channels, self.dynamic_channels = static_channels, dynamic_channels
+        self.drop_prob = float(drop_prob)
+        stat_dim = static_channels + dynamic_channels
+        hid = max(stat_dim // 4, 8)
+        self.gate_net = ConvSeq(
+            Linear(stat_dim, hid, bias=False), _SiLUm(), Linear(hid, out_channels * 2, bias=True)
         )
 
-    def _post_mix(self, p, out, ctx):
-        gate = jax.nn.sigmoid(self.fusion_gate(p["fusion_gate"], out, ctx).astype(jnp.float32)).astype(out.dtype)
-        out = out * gate
-        return self._refine(p, out, ctx) if self.refine_on else out
+    def init(self, key) -> Params:
+        p = super().init(key)
+        # zero-init the output layer: fusion starts as exact concat
+        last = p["gate_net"]["2"]
+        last["w"] = jnp.zeros_like(last["w"])
+        last["b"] = jnp.zeros_like(last["b"])
+        p["gate_scale"] = jnp.asarray(0.0, jnp.float32)
+        p["drop_scale"] = jnp.asarray(1.0, jnp.float32)  # reference param (unused in forward)
+        return p
+
+    def __call__(self, p, out_static, out_dynamic, ctx: Context):
+        pooled = jnp.mean(jnp.concatenate([out_static, out_dynamic], -1).astype(jnp.float32), axis=(1, 2))
+        raw = self.gate_net(p["gate_net"], pooled, ctx).astype(jnp.float32)
+        gate = 0.5 + jnp.tanh(p["gate_scale"]) * 0.5 * jax.nn.sigmoid(raw)
+        gs = gate[:, None, None, : self.static_channels].astype(out_static.dtype)
+        gd = gate[:, None, None, self.static_channels : self.static_channels + self.dynamic_channels].astype(out_dynamic.dtype)
+        return jnp.concatenate([out_static * gs, out_dynamic * gd], -1)
+
+
+class GatedFusionMoE(OptimalHybridGateMoE):
+    """v0.15: the v0.12 core with CrossPathGate fusion replacing plain concat
+    plus a gentle drop-path on the projection residual
+    (reference gated.py:2585-2719)."""
+
+    def __init__(self, in_channels, out_channels, num_experts=4, top_k=2, split_ratio=0.5,
+                 num_groups=8, initial_temperature=1.2, final_temperature=0.5,
+                 balance_loss_coeff=1.0, router_z_loss_coeff=1.0, entropy_loss_coeff=0.01,
+                 fused_expert_threshold=8, shuffle_groups=2, refine=True, refine_reduction=8,
+                 drop_prob=0.05):
+        super().__init__(in_channels, out_channels, num_experts, top_k, split_ratio, num_groups,
+                         initial_temperature, final_temperature, balance_loss_coeff,
+                         router_z_loss_coeff, entropy_loss_coeff, fused_expert_threshold,
+                         shuffle_groups, refine=refine, refine_reduction=refine_reduction)
+        self.cross_gate = CrossPathGate(self.out_static, self.out_dynamic, out_channels, drop_prob=drop_prob)
+
+    def _fuse_paths(self, p, out_static, out_dynamic, x, ctx):
+        return self.cross_gate(p["cross_gate"], out_static, out_dynamic, ctx)
+
+    def _pre_residual(self, p, out, ctx):
+        # gentle drop-path: zero only the projection residual for a random
+        # drop_prob fraction of samples, rescaling survivors by 1/keep
+        # (gated.py:2684-2688); the identity path stays alive
+        dp = self.cross_gate.drop_prob
+        if not ctx.training or dp <= 0:
+            return out
+        drop = jax.random.uniform(_path_key(ctx.step + 2, self.path), (out.shape[0], 1, 1, 1)) < dp
+        return out * jnp.where(drop, 0.0, 1.0 / (1.0 - dp)).astype(out.dtype)

@@ -37,7 +37,7 @@ def _to_numpy(v) -> np.ndarray:
 # modules in nn.Sequential (AdaptiveGateMoE family, gated.py); we apply
 # pooling functionally, so our child indices start at 0. Keyed by the parent
 # segment name; value = torch index offset for the following numeric segment.
-_SEQ_SHIFT = {"se_gate": 2, "feature_gate": 1}
+_SEQ_SHIFT = {"se_gate": 2, "feature_gate": 1, "refine_gate": 1, "gate_net": 2}
 # single-module-on-our-side vs Sequential-on-torch-side (pool + conv)
 _WRAPPED = {"complexity_estimator": "1", "context_gate": "0"}
 
@@ -123,6 +123,10 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
             if k not in used
             and not k.endswith("num_batches_tracked")
             and ".dfl." not in k  # frozen DFL projection — ours is a pure function
+            # DiversifiedExpertGroup records each expert's dilation as a scalar
+            # Parameter but the convs use it statically (gated.py:2321-2332) —
+            # config echo, not a weight
+            and ".dw_dilations." not in k
         }
         if leftovers:
             raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:10]} (+{max(len(leftovers)-10,0)} more)")
