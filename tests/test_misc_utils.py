@@ -136,3 +136,23 @@ def test_build_reference_docs(tmp_path, monkeypatch):
     assert "yolo_master_tpu.models.yolo" in idx
     facade = (tmp_path / "yolo_master_tpu_models_yolo.md").read_text()
     assert "class `YOLO`" in facade and "train" in facade
+
+
+def test_model_zoo_metadata():
+    """model-zoo/models.json (reference model-zoo analog): one entry per det
+    family, every bundled det yaml covered, params measured."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    d = json.loads((repo / "model-zoo/models.json").read_text())
+    assert d["schemaVersion"] == 1 and len(d["models"]) >= 20
+    ids = {m["id"] for m in d["models"]}
+    assert {"yolo-master", "yolo-master-v0_10", "yolo26-master", "rtdetr-master"} <= ids
+    for m in d["models"]:
+        assert (repo / m["config"]).exists(), m["id"]
+        assert m["params_n_M"] is None or m["params_n_M"] > 0.1
+    # every non-task-variant det yaml has an entry
+    zoo = {f.stem for f in (repo / "yolo_master_tpu/cfg/models").glob("*.yaml")
+           if not f.stem.endswith(("-cls", "-seg", "-pose", "-obb", "-semantic"))}
+    assert zoo == ids
