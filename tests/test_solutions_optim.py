@@ -98,3 +98,20 @@ def test_muon_hwio_matricization():
     off = gram - np.diag(np.diag(gram))
     assert np.abs(np.diag(gram) - 1).mean() < 0.35
     assert np.abs(off).mean() < 0.08
+
+
+def test_micro_dispatch_benchmarks():
+    """benchmarks/micro.py (reference benchmark_{mot,molora}_dispatch.py):
+    tiny-shape dispatch timings run and return well-formed results."""
+    from yolo_master_tpu.benchmarks.micro import (
+        bench_esmoe_dispatch,
+        bench_molora_dispatch,
+        bench_mot_dispatch,
+    )
+
+    m = bench_mot_dispatch(steps=2, batch=2, size=16, ch=32)
+    assert m["dense_ms"] > 0 and m["sparse_ms"] > 0 and m["output_gap"] < 1e-3
+    m = bench_molora_dispatch(steps=2, batch=2, size=8, ch=16)
+    assert m["base_ms"] > 0 and m["routed_ms"] > 0
+    m = bench_esmoe_dispatch(steps=2, batch=2, size=16, ch=32)
+    assert m["dense_ms"] > 0 and m["sparse_ms"] > 0
