@@ -77,8 +77,16 @@ def main() -> int:
             "config": f"yolo_master_tpu/cfg/models/{f.name}",
         })
     OUT.parent.mkdir(exist_ok=True)
+    updated = str(date.today())
+    if OUT.exists():  # keep the old stamp when content is unchanged (stable CI diff)
+        try:
+            old = json.loads(OUT.read_text())
+            if old.get("models") == entries:
+                updated = old.get("updated", updated)
+        except Exception:  # noqa: BLE001
+            pass
     OUT.write_text(json.dumps(
-        {"schemaVersion": 1, "updated": str(date.today()), "models": entries}, indent=1
+        {"schemaVersion": 1, "updated": updated, "models": entries}, indent=1
     ) + "\n")
     print(f"wrote {len(entries)} zoo entries -> {OUT}")
     return 0
