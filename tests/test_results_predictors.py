@@ -175,3 +175,16 @@ def test_facade_fuse_is_exact():
     if len(r0):
         np.testing.assert_allclose(r0.boxes.xyxy, r1.boxes.xyxy, atol=0.1)
         np.testing.assert_allclose(r0.boxes.conf, r1.boxes.conf, atol=1e-3)
+
+
+def test_results_verbose_and_to_df():
+    """verbose() class-count string (reference results.py:658) + to_df."""
+    boxes = np.array([[10, 10, 50, 60, 0.9, 0], [20, 20, 40, 40, 0.8, 0], [5, 5, 30, 30, 0.7, 1]])
+    r = Results(_img(), names={0: "person", 1: "bus"}, boxes=boxes)
+    assert r.verbose() == "2 persons, 1 bus, "
+    df = r.to_df()
+    assert list(df["name"]) == ["person", "person", "bus"]
+    empty = Results(_img(), names={}, boxes=np.zeros((0, 6)))
+    assert "no detections" in empty.verbose()
+    rp = Results(_img(), names={2: "c"}, probs=np.array([0.1, 0.2, 0.7]))
+    assert rp.verbose().startswith("c 0.70")

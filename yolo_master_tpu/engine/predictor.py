@@ -74,6 +74,7 @@ class DetectionPredictor:
         batch: int = 1,
         backend=None,
         second_nms_iou: Optional[float] = None,
+        verbose: bool = False,
     ):
         self.backend = backend  # AutoBackend for exported artifacts
         if backend is not None:
@@ -94,6 +95,7 @@ class DetectionPredictor:
         # detections the tight pass dropped surface as Results.dets_del —
         # TrackTrack's recovered bucket (reference track_tracker.py:26,150)
         self.second_nms_iou = second_nms_iou
+        self.verbose = verbose
         self.class_mask = None
         if classes is not None:
             m = np.zeros((nc,), np.float32)
@@ -256,6 +258,9 @@ class DetectionPredictor:
                 "inference": (t2 - t1) / bs * 1e3,
                 "postprocess": (t3 - t2) / bs * 1e3,
             }
+            if self.verbose:
+                h, w = r.orig_shape
+                LOGGER.info(f"{r.path}: {w}x{h} {r.verbose()}{r.speed['inference']:.1f}ms")
         return results
 
     def _build_result(self, path, orig_img, meta, det) -> Results:

@@ -444,6 +444,28 @@ class Results:
         imwrite(str(filename), self.plot())
         return str(filename)
 
+    def verbose(self) -> str:
+        """Per-image log string (reference results.py:658): '2 persons, 1 bus, '
+        style class counts, or top-5 for classification."""
+        if self.probs is not None:
+            return ", ".join(f"{self.names.get(i, i)} {self.probs.data[i]:.2f}" for i in self.probs.top5) + ", "
+        container = self.obb if self.obb is not None else self.boxes
+        if container is None or len(container) == 0:
+            return "(no detections), "
+        counts: Dict[int, int] = {}
+        for c in container.cls.astype(int):
+            counts[int(c)] = counts.get(int(c), 0) + 1
+        return "".join(
+            f"{n} {self.names.get(c, str(c))}{'s' if n > 1 else ''}, " for c, n in sorted(counts.items())
+        )
+
+    def to_df(self, normalize: bool = False, decimals: int = 5):
+        """Summary rows as a pandas DataFrame (reference results.py to_df);
+        requires the optional pandas dependency."""
+        import pandas as pd
+
+        return pd.DataFrame(self.summary(normalize=normalize, decimals=decimals))
+
 
 def _class_color(c: int):
     # single palette source shared with solutions/demos (utils/annotator.py)
