@@ -115,3 +115,17 @@ def test_micro_dispatch_benchmarks():
     assert m["base_ms"] > 0 and m["routed_ms"] > 0
     m = bench_esmoe_dispatch(steps=2, batch=2, size=16, ch=32)
     assert m["dense_ms"] > 0 and m["sparse_ms"] > 0
+
+
+def test_benchmark_suite_catalog(tmp_path):
+    """suites.yaml catalog + run.py CLI (reference benchmarks/run.py)."""
+    import json
+
+    from yolo_master_tpu.benchmarks.run import main
+
+    assert main(["--list"]) == 0
+    out = tmp_path / "r.json"
+    assert main(["--suite", "flops_gates", "--case", "moe4-expert-flops",
+                 "--output", str(out)]) == 0
+    r = json.loads(out.read_text())
+    assert r["moe4-expert-flops"]["pass"] is True
