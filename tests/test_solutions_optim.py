@@ -129,3 +129,21 @@ def test_benchmark_suite_catalog(tmp_path):
                  "--output", str(out)]) == 0
     r = json.loads(out.read_text())
     assert r["moe4-expert-flops"]["pass"] is True
+
+
+def test_solution_config():
+    """SolutionConfig (reference solutions/config.py): typed defaults,
+    did-you-mean rejection, per-app subsetting."""
+    import pytest
+
+    from yolo_master_tpu.solutions import AIGym, QueueManager, SolutionConfig
+
+    cfg = SolutionConfig().update(region=[(0, 0), (10, 0), (10, 10)], conf=0.5)
+    assert cfg.conf == 0.5 and len(cfg.region) == 3
+    with pytest.raises(ValueError, match="did you mean 'region'"):
+        cfg.update(reigon=[(0, 0)])
+    sub = cfg.for_app(QueueManager)
+    assert "region" in sub and "json_file" not in sub
+    QueueManager(**sub)  # config subset constructs the app
+    gym = cfg.for_app(AIGym)
+    assert gym["up_angle"] == 145.0 and "region" not in gym

@@ -1,3 +1,4 @@
+from .config import SolutionConfig
 from .counter import ObjectCounter, RegionCounter
 from .heatmap import Heatmap
 from .speed import SpeedEstimator
@@ -18,6 +19,7 @@ from .similarity import SearchApp, VisualAISearch, signature_embed
 from .inference import Inference
 
 __all__ = [
+    "SolutionConfig",
     "ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator", "DistanceCalculator",
     "QueueManager", "ParkingManagement", "Analytics", "AIGym", "TrackZone",
     "ObjectBlurrer", "ObjectCropper", "VisionEye", "SecurityAlarm", "InstanceSegmentationOverlay",
