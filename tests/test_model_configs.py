@@ -17,7 +17,10 @@ def trainable(tree):
         nonlocal tot
         if isinstance(n, dict):
             for k, v in n.items():
-                if k in ("mean", "var"):
+                # skip buffers: BN running stats + underscore-named persistent
+                # buffers (e.g. the MoA global head's _rf_matrix) — torch's
+                # parameters() count excludes buffers too
+                if k in ("mean", "var") or k.startswith("_"):
                     continue
                 walk(v)
         else:

@@ -393,3 +393,47 @@ def test_generation_block_parity(torch_reference, gen, block):
     score_err = np.abs(ty[:, 4:] - jy[:, 4:]).max()
     assert box_err < 5e-3, f"{gen} box decode mismatch: {box_err}"
     assert score_err < 1e-5, f"{gen} score mismatch: {score_err}"
+
+
+@pytest.mark.slow
+def test_moa_mot_blocks_parity(torch_reference):
+    """Decoded-output parity for the MoA (C2fMoA) and MoT (C2fMoT) mixture
+    blocks via the v0_10 moa-mot model (reference
+    cfg/models/master/v0_10/det/yolo-master-moa-mot-n.yaml, nn/modules/moa +
+    mot) — the last mixture families without a weight-import gate."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as TorchModel
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import DetectionModel as JaxModel
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    tm = TorchModel(
+        "/root/reference/ultralytics/cfg/models/26/yolo26-master-moa-mot-n.yaml", verbose=False
+    )
+    tm.eval()
+    names = {type(m).__name__ for m in tm.modules()}
+    assert {"C2fMoA", "C2fMoT"} <= names, f"moa-mot yaml changed: {sorted(names)[:20]}"
+    jm = JaxModel("yolo26-master-moa-mot-n")
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    # yolo26 head is end2end: bypass the in-head top-k (tie ordering under
+    # random init is arbitrary) and compare raw decoded [B, A, 4+nc]
+    tm.model[-1].postprocess = lambda p: p
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()
+
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    preds = jm.forward_train(params, jx, Context(training=False))
+    jy = np.asarray(jm.head.decode(preds))
+    assert ty.shape == jy.shape
+    box_err = np.abs(ty[..., :4] - jy[..., :4]).max()
+    score_err = np.abs(ty[..., 4:] - jy[..., 4:]).max()
+    assert box_err < 5e-3, f"moa-mot box decode mismatch: {box_err}"
+    assert score_err < 1e-5, f"moa-mot score mismatch: {score_err}"

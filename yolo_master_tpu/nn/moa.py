@@ -158,11 +158,19 @@ class _GlobalAttnHead(Module):
         rng = np.random.default_rng(rf_seed)
         rf = rng.standard_normal((self.hd, self.hd)).astype(np.float32)
         qmat, _ = np.linalg.qr(rf)
-        self.rf_matrix = jnp.asarray(qmat[:eff_nb])  # [eff_nb, hd] fixed buffer
+        self._rf_init = jnp.asarray(qmat[:eff_nb])  # [eff_nb, hd] seed value
 
-    def _linear_attn(self, q, k, v):
+    def init(self, key) -> Params:
+        p = super().init(key)
+        # the random-feature matrix is a persistent torch buffer
+        # (moa/heads.py:251) — kept in the params tree so checkpoint import
+        # carries the REFERENCE's features and outputs match bit-for-bit
+        p["_rf_matrix"] = self._rf_init
+        return p
+
+    def _linear_attn(self, p, q, k, v):
         """q,k,v [B,nh,N,hd] -> [B,nh,N,hd], O(N)."""
-        rf = self.rf_matrix.astype(jnp.float32)
+        rf = p["_rf_matrix"].astype(jnp.float32)
         scale = rf.shape[0] ** -0.5
         qf = jnp.clip(jax.nn.relu(q.astype(jnp.float32) @ rf.T * scale) + 1e-6, None, LINEAR_ATTN_ACTIVATION_LIMIT)
         kf = jnp.clip(jax.nn.relu(k.astype(jnp.float32) @ rf.T * scale) + 1e-6, None, LINEAR_ATTN_ACTIVATION_LIMIT)
@@ -182,10 +190,10 @@ class _GlobalAttnHead(Module):
         if N <= lo:
             out = sdpa(q, k, v, self.scale)
         elif N >= LINEAR_ATTN_THRESHOLD:
-            out = self._linear_attn(q * self.scale, k, v)
+            out = self._linear_attn(p, q * self.scale, k, v)
         else:  # static blend window (shapes known at trace time)
             alpha = (N - lo) / LINEAR_ATTN_BLEND_WINDOW
-            out = (1 - alpha) * sdpa(q, k, v, self.scale) + alpha * self._linear_attn(q * self.scale, k, v)
+            out = (1 - alpha) * sdpa(q, k, v, self.scale) + alpha * self._linear_attn(p, q * self.scale, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.inner)
         return self.norm(p["norm"], self.proj(p["proj"], out, ctx), ctx)
 

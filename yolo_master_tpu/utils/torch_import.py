@@ -39,7 +39,10 @@ def _to_numpy(v) -> np.ndarray:
 # segment name; value = torch index offset for the following numeric segment.
 _SEQ_SHIFT = {"se_gate": 2, "feature_gate": 1, "refine_gate": 1, "gate_net": 2}
 # single-module-on-our-side vs Sequential-on-torch-side (pool + conv)
-_WRAPPED = {"complexity_estimator": "1", "context_gate": "0"}
+_WRAPPED = {"complexity_estimator": "1", "context_gate": "0", "ffn_gate": "0"}
+# per-parent index remaps where torch interposes paramless Dropout between our
+# functional modules (MoT transformer experts: Linear, GELU, Dropout, Linear)
+_SEQ_REMAP = {"ffn": {"2": "3"}}
 
 
 def _torch_key(path: list[str]) -> list[str]:
@@ -61,6 +64,10 @@ def _torch_key(path: list[str]) -> list[str]:
             parts.extend(["routing_network", "0"])
         elif seg == "fc2" and parts and parts[-1] == "routing":
             parts.extend(["routing_network", "2"])
+        elif seg in _SEQ_REMAP and i + 1 < len(path) and path[i + 1] in _SEQ_REMAP[seg]:
+            parts.append(seg)
+            parts.append(_SEQ_REMAP[seg][path[i + 1]])
+            i += 1
         elif seg in _SEQ_SHIFT and i + 1 < len(path) and path[i + 1].isdigit():
             parts.append(seg)
             parts.append(str(int(path[i + 1]) + _SEQ_SHIFT[seg]))
@@ -98,6 +105,8 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
             v = v.T
         elif v.ndim == 2 and len(t_shape) == 2 and v.shape != t_shape:
             v = v.T  # linear [out,in] -> [in,out] (non-"w" leaves, by shape)
+        if tuple(v.shape) != t_shape and tuple(np.squeeze(v).shape) == t_shape:
+            v = np.squeeze(v)  # e.g. layer-scale [C,1,1] -> our flat [C]
         if tuple(v.shape) != t_shape:
             raise ValueError(f"shape mismatch for leaf {leaf_name}: torch {v.shape} vs ours {t_shape}")
         return v
@@ -127,6 +136,9 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
             # Parameter but the convs use it statically (gated.py:2321-2332) —
             # config echo, not a weight
             and ".dw_dilations." not in k
+            # MoT router temperature is a schedule-state buffer (mot/router.py
+            # temperature anneal) — ours derives it from ctx.step
+            and not k.endswith("router.temperature")
         }
         if leftovers:
             raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:10]} (+{max(len(leftovers)-10,0)} more)")
