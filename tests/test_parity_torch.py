@@ -351,7 +351,13 @@ def test_hgnet_blocks_parity(torch_reference):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("gen,block", [
+    ("v0_1", "OptimizedMOEImproved"),
+    ("v0_3", "UltimateOptimizedMoE"),
+    ("v0_4", "AdaptiveGateMoE"),
     ("v0_5", "FusedAdaptiveGateMoE"),
+    ("v0_6", "HybridAdaptiveGateMoE"),
+    ("v0_7", "LowRankHybridAdaptiveGateMoE"),
+    ("v0_8", "RefinedLowRankHybridAdaptiveGateMoE"),
     ("v0_9", "DetailAwareLowRankHybridAdaptiveGateMoE"),
     ("v0_13", "MultiHeadRouterMoE"),
     ("v0_14", "DiversifiedExpertMoE"),
@@ -437,3 +443,39 @@ def test_moa_mot_blocks_parity(torch_reference):
     score_err = np.abs(ty[..., 4:] - jy[..., 4:]).max()
     assert box_err < 5e-3, f"moa-mot box decode mismatch: {box_err}"
     assert score_err < 1e-5, f"moa-mot score mismatch: {score_err}"
+
+
+@pytest.mark.slow
+def test_latent_mixture_parity(torch_reference):
+    """Decoded parity for the LatentMixture family (yolo26-master-latent,
+    reference cfg/models/26/yolo26-master-latent-n.yaml, nn/modules/
+    latent_mixture.py) — completes the per-family weight-import matrix."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as TorchModel
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import DetectionModel as JaxModel
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    tm = TorchModel("/root/reference/ultralytics/cfg/models/26/yolo26-master-latent-n.yaml", verbose=False)
+    tm.eval()
+    assert any("LatentMixture" in type(m).__name__ for m in tm.modules())
+    jm = JaxModel("yolo26-master-latent-n")
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    tm.model[-1].postprocess = lambda p: p  # end2end: compare raw decode
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()
+
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    preds = jm.forward_train(params, jx, Context(training=False))
+    jy = np.asarray(jm.head.decode(preds))
+    assert ty.shape == jy.shape
+    assert np.abs(ty[..., :4] - jy[..., :4]).max() < 5e-3
+    assert np.abs(ty[..., 4:] - jy[..., 4:]).max() < 1e-5

@@ -44,28 +44,36 @@ def _topk_renorm(probs, k):
 
 
 class ZeroCostRouter(Module):
-    """Channel-statistics-only router (gated.py:855-935): [mean,std] -> FC."""
+    """Channel-statistics-only router (gated.py:855-935): [mean,std] -> FC.
+
+    Faithful quirk: the reference's mapping net is Sequential(Linear, Softmax)
+    and its output is THEN divided by temperature, clamped, and softmaxed
+    again (gated.py:875-900) — i.e. the "logits" entering the final softmax
+    are already probabilities. Preserved exactly (param key ``router.0`` too)
+    so imported checkpoints route identically."""
 
     def __init__(self, in_channels, num_experts, top_k, temperature=1.0):
         super().__init__()
         self.num_experts, self.top_k = num_experts, top_k
         self.temperature = max(temperature, 1e-3)
-        self.global_fc = Linear(2 * in_channels, num_experts, bias=False)
+        self.router = ConvSeq(Linear(2 * in_channels, num_experts, bias=False))
 
     def init(self, key) -> Params:
         p = super().init(key)
-        p["global_fc"]["w"] = 0.05 * jax.random.normal(key, p["global_fc"]["w"].shape)
+        p["router"]["0"]["w"] = 0.05 * jax.random.normal(key, p["router"]["0"]["w"].shape)
         return p
 
     def logits(self, p, x, ctx):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2))
         std = jnp.std(xf, axis=(1, 2))
-        return self.global_fc(p["global_fc"], jnp.concatenate([mean, std], -1), ctx)
+        raw = self.router(p["router"], jnp.concatenate([mean, std], -1), ctx).astype(jnp.float32)
+        return jax.nn.softmax(raw, -1)  # the Sequential's Softmax
 
     def __call__(self, p, x, ctx, temperature=None):
-        logits = jnp.clip(self.logits(p, x, ctx), -LOGIT_CLAMP, LOGIT_CLAMP)
-        probs = jax.nn.softmax(logits / (temperature or self.temperature), -1)
+        logits = jnp.clip(self.logits(p, x, ctx) / (temperature or self.temperature),
+                          -LOGIT_CLAMP, LOGIT_CLAMP)
+        probs = jax.nn.softmax(logits, -1)
         w, idx = _topk_renorm(probs, self.top_k)
         return w, idx, {"router_probs": probs, "router_logits": logits}
 

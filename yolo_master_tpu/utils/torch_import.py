@@ -139,6 +139,12 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
             # MoT router temperature is a schedule-state buffer (mot/router.py
             # temperature anneal) — ours derives it from ctx.step
             and not k.endswith("router.temperature")
+            # UltimateOptimizedMoE's progressive-sparsity counter buffer
+            # (modules.py:1575) — ours derives adaptive-k from ctx.step
+            and not k.endswith("current_top_k")
+            # LatentRouter schedule buffers (latent_mixture.py) — ctx.step-derived here
+            and not k.endswith("router._noise_std")
+            and not k.endswith("router._temperature")
         }
         if leftovers:
             raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:10]} (+{max(len(leftovers)-10,0)} more)")
