@@ -479,3 +479,64 @@ def test_latent_mixture_parity(torch_reference):
     assert ty.shape == jy.shape
     assert np.abs(ty[..., :4] - jy[..., :4]).max() < 5e-3
     assert np.abs(ty[..., 4:] - jy[..., 4:]).max() < 1e-5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task,ours,ref_yaml", [
+    ("seg", "yolo-master-v0_10-seg-n",
+     "/root/reference/ultralytics/cfg/models/master/v0_10/seg/yolo-master-seg-n.yaml"),
+    ("pose", "yolo-master-v0_10-pose-n",
+     "/root/reference/ultralytics/cfg/models/master/v0_10/pose/yolo-master-pose-n.yaml"),
+    ("obb", "yolo-master-v0_10-obb-n",
+     "/root/reference/ultralytics/cfg/models/master/v0_10/obb/yolo-master-obb-n.yaml"),
+])
+def test_task_head_parity(torch_reference, task, ours, ref_yaml):
+    """Raw multi-output parity for the Segment/Pose/OBB task heads on the
+    v0_10 released-weights backbone (reference nn/modules/head.py:265,428,558)
+    — the detection-variant parity gates never exercise mask/kpt/angle
+    branches."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import OBBModel as TOBB
+    from ultralytics.nn.tasks import PoseModel as TPose
+    from ultralytics.nn.tasks import SegmentationModel as TSeg
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import OBBModel as JOBB
+    from yolo_master_tpu.nn.tasks import PoseModel as JPose
+    from yolo_master_tpu.nn.tasks import SegmentationModel as JSeg
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    tcls, jcls = {"seg": (TSeg, JSeg), "pose": (TPose, JPose), "obb": (TOBB, JOBB)}[task]
+    torch.manual_seed(0)
+    tm = tcls(ref_yaml, verbose=False)
+    tm.eval()
+    jm = jcls(ours)
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ctx = Context(training=False)
+    jpreds = jm.forward_train(params, jx, ctx)
+    j_main = np.asarray(jm.head.decode(jpreds)).transpose(0, 2, 1)
+
+    if task == "seg":
+        # torch seg eval returns ((main, protos), extras_dict)
+        t_main = ty[0][0].numpy()
+        protos = ty[0][1].numpy()
+        j_protos = np.asarray(jpreds["proto"]).transpose(0, 3, 1, 2)
+        assert j_protos.shape == protos.shape, (j_protos.shape, protos.shape)
+        # protos sit at the end of the full 24-layer v0_10 graph: same
+        # accumulated-fp allowance as the decoded main output
+        assert np.abs(j_protos - protos).max() < 5e-3
+    else:
+        t_main = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()
+    assert t_main.shape == j_main.shape, (t_main.shape, j_main.shape)
+    err = np.abs(t_main - j_main).max()
+    # pose kpt columns are pixel-scale (up to 64) through a longer decode
+    # chain — allow proportionally more absolute slack there
+    assert err < (1e-2 if task == "pose" else 5e-3), f"{task} head output mismatch: {err}"
