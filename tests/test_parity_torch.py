@@ -540,3 +540,33 @@ def test_task_head_parity(torch_reference, task, ours, ref_yaml):
     # pose kpt columns are pixel-scale (up to 64) through a longer decode
     # chain — allow proportionally more absolute slack there
     assert err < (1e-2 if task == "pose" else 5e-3), f"{task} head output mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_classify_head_parity(torch_reference):
+    """Classification-model logits parity on the v0_10 backbone (reference
+    nn/modules/head.py:783 Classify) — completes the task-head matrix."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import ClassificationModel as TCls
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import ClassificationModel as JCls
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    tm = TCls("/root/reference/ultralytics/cfg/models/master/v0_10/cls/yolo-master-cls-n.yaml", verbose=False)
+    tm.eval()
+    jm = JCls("yolo-master-v0_10-cls-n")
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()
+    jy = np.asarray(jm.forward_predict(params, jnp.asarray(x.transpose(0, 2, 3, 1)), Context(training=False)))
+    assert ty.shape == jy.shape, (ty.shape, jy.shape)
+    err = np.abs(ty - jy).max()
+    assert err < 1e-3, f"classify parity mismatch: {err}"
