@@ -14,9 +14,13 @@ Exit 0 iff every selected case passes. Suites:
   contract  — structured error contract: unknown skill / missing inputs /
               bad payloads come back as {"status": "failed", "error": ...}
               without raising; response schema keys always present
-  smoke     — tiny real executions (model.inspect, predict on a generated
-              image, moe.diagnose, lora.diagnose) — minutes, not seconds
-  all       — everything above
+  fast-smoke — tiny real executions (model.inspect, predict on a generated
+              image, moe.diagnose, lora.diagnose); "smoke" is a legacy alias
+  cli-smoke — the skill CLI subprocess end-to-end (doctor round-trip)
+  deep-smoke — tiny real train (1 epoch) + val through the skill contract
+  extended  — export + moe-prune through the contract
+  all       — everything above (the reference's 8-suite set,
+              agent/runtime/cli/validate.py)
 """
 
 from __future__ import annotations
@@ -151,30 +155,108 @@ def build_cases(tmp_dir: str) -> List[Dict[str, Any]]:
         return img_path
 
     cases += [
-        {"suite": "smoke", "name": "inspect", "setup": None,
+        {"suite": "fast-smoke", "name": "inspect", "setup": None,
          "request": {"skill": "yolo.model.inspect", "inputs": {"model": MINI_CFG},
                      "params": {"imgsz": 64}},
          "check": _expect_ok},
-        {"suite": "smoke", "name": "predict-real-image", "setup": _write_img,
+        {"suite": "fast-smoke", "name": "predict-real-image", "setup": _write_img,
          "request": {"skill": "yolo.predict",
                      "inputs": {"model": MINI_CFG, "source": img_path},
                      "params": {"imgsz": 64}},
          "check": _expect_ok},
-        {"suite": "smoke", "name": "moe-diagnose",
+        {"suite": "fast-smoke", "name": "moe-diagnose",
          "request": {"skill": "yolo.moe.diagnose", "inputs": {"model": MINI_CFG}},
          "check": _expect_ok},
-        {"suite": "smoke", "name": "lora-diagnose",
+        {"suite": "fast-smoke", "name": "lora-diagnose",
          "request": {"skill": "yolo.lora.diagnose", "inputs": {"model": MINI_CFG},
                      "params": {"rank": 4}},
+         "check": _expect_ok},
+    ]
+
+    # -- cli-smoke: the skill CLI subprocess end-to-end ----------------------
+    def _cli_doctor():
+        import os
+        import subprocess
+        import sys
+
+        # pin the jax platform in the child BEFORE backend init: validation
+        # must not depend on accelerator-tunnel health (YMT_VALIDATE_PLATFORM
+        # overrides, e.g. "tpu" on a known-good rig)
+        platform = os.environ.get("YMT_VALIDATE_PLATFORM", "cpu")
+        boot = (
+            "import sys, jax; jax.config.update('jax_platforms', %r); "
+            "from yolo_master_tpu.agent import main; sys.exit(main(sys.argv[1:]))" % platform
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", boot,
+             "--json", json.dumps({"skill": "yolo.system.doctor"})],
+            capture_output=True, text=True, timeout=300,
+        )
+        if out.returncode != 0:
+            return f"cli exit {out.returncode}: {out.stderr[-300:]}"
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        return None if payload.get("status") == "ok" else f"cli payload: {payload}"
+
+    cases.append({"suite": "cli-smoke", "name": "cli-doctor",
+                  "request": {"skill": "yolo.system.doctor"},  # re-checked in-process too
+                  "check": lambda payload: _cli_doctor()})
+
+    # -- deep-smoke: tiny real train + val through the skill contract --------
+    data_yaml = f"{tmp_dir}/ds/data.yaml"
+
+    def _write_ds():
+        import cv2
+
+        from pathlib import Path
+
+        rng = np.random.default_rng(0)
+        root = Path(tmp_dir) / "ds"
+        for split in ("train", "val"):
+            (root / f"images/{split}").mkdir(parents=True, exist_ok=True)
+            (root / f"labels/{split}").mkdir(parents=True, exist_ok=True)
+            for i in range(4):
+                img = np.full((64, 64, 3), 110, np.uint8)
+                cv2.rectangle(img, (16, 16), (48, 48), (0, 0, 230), -1)
+                cv2.imwrite(str(root / f"images/{split}/{i}.png"), img)
+                (root / f"labels/{split}/{i}.txt").write_text("0 0.5 0.5 0.5 0.5")
+        (root / "data.yaml").write_text(
+            f"path: {root}\ntrain: images/train\nval: images/val\nnames:\n  0: box\n")
+        return data_yaml
+
+    cases += [
+        {"suite": "deep-smoke", "name": "train-1epoch", "setup": _write_ds,
+         "request": {"skill": "yolo.train",
+                     "inputs": {"model": MINI_CFG, "data": data_yaml},
+                     "params": {"epochs": 1, "batch": 4, "imgsz": 64, "max_gt": 4,
+                                "val": False, "save_dir": f"{tmp_dir}/run"}},
+         "check": _expect_ok},
+        {"suite": "deep-smoke", "name": "val-after-train", "setup": _write_ds,
+         "request": {"skill": "yolo.val",
+                     "inputs": {"model": MINI_CFG, "data": data_yaml},
+                     "params": {"imgsz": 64, "batch": 4, "max_gt": 4}},
+         "check": _expect_ok},
+    ]
+
+    # -- extended: export + moe prune through the contract -------------------
+    cases += [
+        {"suite": "extended", "name": "export-npz",
+         "request": {"skill": "yolo.export", "inputs": {"model": MINI_CFG},
+                     "params": {"format": "npz", "imgsz": 64,
+                                "output": f"{tmp_dir}/m.npz"}},
+         "check": _expect_ok},
+        {"suite": "extended", "name": "moe-prune",
+         "request": {"skill": "yolo.moe.prune", "inputs": {"model": MINI_CFG},
+                     "params": {"threshold": 0.1}},
          "check": _expect_ok},
     ]
     return cases
 
 
 def run_suite(suite: str = "quick", tmp_dir: str = "/tmp", verbose: bool = True) -> Dict[str, Any]:
+    suite = {"smoke": "fast-smoke"}.get(suite, suite)  # legacy alias
     cases = [c for c in build_cases(tmp_dir) if suite == "all" or c["suite"] == suite]
     if not cases:
-        raise ValueError(f"unknown suite '{suite}' (quick|dry-run|contract|smoke|all)")
+        raise ValueError(f"unknown suite '{suite}' (quick|fast-smoke|cli-smoke|dry-run|contract|deep-smoke|extended|all)")
     results = []
     for case in cases:
         if case.get("setup"):
@@ -201,7 +283,9 @@ def main(argv=None) -> int:
     import tempfile
 
     ap = argparse.ArgumentParser(description="agent skill-contract validation suites")
-    ap.add_argument("--suite", default="quick", choices=["quick", "dry-run", "contract", "smoke", "all"])
+    ap.add_argument("--suite", default="quick",
+                    choices=["quick", "fast-smoke", "cli-smoke", "dry-run", "contract",
+                             "deep-smoke", "extended", "smoke", "all"])
     ap.add_argument("--json-report", help="write the full report to this path")
     args = ap.parse_args(argv)
     with tempfile.TemporaryDirectory() as td:
