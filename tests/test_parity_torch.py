@@ -570,3 +570,49 @@ def test_classify_head_parity(torch_reference):
     assert ty.shape == jy.shape, (ty.shape, jy.shape)
     err = np.abs(ty - jy).max()
     assert err < 1e-3, f"classify parity mismatch: {err}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,ours,ref_yaml,block", [
+    ("uomoe", "yolo-master-uomoe-n",
+     "/root/reference/ultralytics/cfg/models/master/v0_1/det/yolo-master-n-uomoe.yaml",
+     "UltraOptimizedMoE"),
+    ("v0_2", "yolo-master-v0_2-n",
+     "/root/reference/ultralytics/cfg/models/master/exp/yolo-master-v0_2.yaml",
+     None),
+    ("v0_11", "yolo-master-v0_11-n",
+     "/root/reference/ultralytics/cfg/models/master/exp/yolo-master-v0_11.yaml",
+     "HybridAdaptiveGateMoEv2"),
+])
+def test_exp_generation_parity(torch_reference, name, ours, ref_yaml, block):
+    """Decoded parity for the experimental-tree generations (reference
+    cfg/models/master/exp/ + the v0_1 UoMoE variant) — UltraOptimizedMoE,
+    v0_2, HybridAdaptiveGateMoEv2 families."""
+    import jax.numpy as jnp
+    import torch
+
+    from ultralytics.nn.tasks import DetectionModel as TorchModel
+
+    from yolo_master_tpu.nn.module import Context
+    from yolo_master_tpu.nn.tasks import DetectionModel as JaxModel
+    from yolo_master_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    tm = TorchModel(ref_yaml, verbose=False)
+    tm.eval()
+    if block:
+        assert any(type(m).__name__ == block for m in tm.modules()), f"{name}: {block} absent"
+    jm = JaxModel(ours)
+    params = import_state_dict(jm.init_params(0), tm.state_dict(), strict=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32) * 0.25 + 0.5
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x))
+    ty = (ty[0] if isinstance(ty, (tuple, list)) else ty).numpy()
+
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    jy = np.asarray(jm.forward_predict(params, jx, Context(training=False))).transpose(0, 2, 1)
+    assert ty.shape == jy.shape
+    assert np.abs(ty[:, :4] - jy[:, :4]).max() < 5e-3
+    assert np.abs(ty[:, 4:] - jy[:, 4:]).max() < 1e-5
