@@ -21,6 +21,43 @@ def test_codec_roundtrip():
         assert np.array_equal(out[k], t[k])
 
 
+def test_large_payload_over_4mb():
+    """A 640x640x3 float32 request is 4.9 MB — past gRPC's 4 MB default cap.
+    Both channel ends must carry the max_message_length options or real-size
+    images are rejected with RESOURCE_EXHAUSTED (found live on TPU serving)."""
+    pytest.importorskip("grpc")
+
+    class EchoPredictor:
+        imgsz = (640, 640)
+        model = type("M", (), {"nc": 1})()
+        params = None
+        compute_dtype = np.float32
+
+        def _get_fn(self, bs):
+            def fn(params, x):
+                n = x.shape[0]
+                return {
+                    "boxes": np.zeros((n, 1, 4), np.float32),
+                    "scores": np.zeros((n, 1), np.float32),
+                    "classes": np.zeros((n, 1), np.int32),
+                    "valid": np.ones((n, 1), bool),
+                }
+
+            return fn
+
+    server = InferenceServer(EchoPredictor())
+    port = server.start(port=0)
+    try:
+        client = InferenceClient(f"127.0.0.1:{port}")
+        x = np.zeros((1, 640, 640, 3), np.float32)
+        assert x.nbytes > 4 * 1024 * 1024
+        out = client.infer(x)
+        assert out["boxes"].shape == (1, 1, 4)
+        client.close()
+    finally:
+        server.stop()
+
+
 def test_server_client_infer():
     pytest.importorskip("grpc")
     from yolo_master_tpu.engine.predictor import DetectionPredictor

@@ -32,6 +32,14 @@ from .utils import LOGGER
 
 SERVICE = "ymt.Inference"
 
+# a 640x640x3 float32 tensor is 4.9 MB — past gRPC's 4 MB default cap; allow
+# large-image and batched-tensor payloads on both directions (Triton defaults
+# to unlimited for the same reason)
+_MSG_SIZE_OPTIONS = [
+    ("grpc.max_receive_message_length", 256 * 1024 * 1024),
+    ("grpc.max_send_message_length", 256 * 1024 * 1024),
+]
+
 
 # ---------------------------------------------------------------------------
 # Tensor codec
@@ -188,7 +196,10 @@ class InferenceServer:
                 fn, request_deserializer=None, response_serializer=None)
             for name, fn in rpcs.items()
         }
-        self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=self.max_workers))
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=self.max_workers),
+            options=_MSG_SIZE_OPTIONS,
+        )
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(SERVICE, handlers),))
         port = self._server.add_insecure_port(f"{address}:{port}")
@@ -212,7 +223,7 @@ class InferenceClient:
     def __init__(self, target: str = "127.0.0.1:8001", timeout: float = 30.0):
         import grpc
 
-        self.channel = grpc.insecure_channel(target)
+        self.channel = grpc.insecure_channel(target, options=_MSG_SIZE_OPTIONS)
         self.timeout = timeout
         self._rpc = {
             name: self.channel.unary_unary(f"/{SERVICE}/{name}",
