@@ -55,9 +55,17 @@ def main():
         port = srv.start(port=0)
         x = np.random.default_rng(0).uniform(0, 1, (1, args.imgsz, args.imgsz, 3)).astype(np.float32)
 
-        # warm the compiled graphs (bs=1 and the padded micro-batch sizes)
-        warm = InferenceClient(f"127.0.0.1:{port}")
-        warm.infer(x)
+        # warm the compiled graphs: bs=1 plus every power-of-two padded
+        # micro-batch size the batcher can hit. First compile through the
+        # relay can take minutes — use a generous timeout.
+        warm = InferenceClient(f"127.0.0.1:{port}", timeout=600.0)
+        sizes = {1}
+        b = 2
+        while max_batch and b <= max_batch:
+            sizes.add(b)
+            b *= 2
+        for s in sorted(sizes):
+            warm.infer(np.repeat(x, s, axis=0))
         warm.close()
 
         lat: list[float] = []
