@@ -54,13 +54,21 @@ def make_optimizer(lr_schedule, momentum: float = 0.937, weight_decay: float = 5
 
 
 def param_group_labels(params):
-    """Reference 3-group optimizer split (engine/trainer.py build_optimizer):
-    g0 = >=2D weights (decayed), g1 = norm scales / other, g2 = biases
-    (own warmup LR starting at warmup_bias_lr)."""
+    """Reference optimizer policy split (engine/trainer.py:1484-1528
+    build_optimizer): router params ("router"/"routing" anywhere in the
+    qualified name) get their own group (decayed, lr x moe_router_lr_scale,
+    checked BEFORE the bias rule — router biases are router-group); then
+    g2 = biases (no decay, own warmup LR starting at warmup_bias_lr),
+    g0 = >=2D weights (decayed), g1 = norm scales / other (no decay)."""
 
-    def walk(node, name=""):
+    def walk(node, name="", in_router=False):
         if isinstance(node, dict):
-            return {k: walk(v, k) for k, v in node.items()}
+            return {
+                k: walk(v, k, in_router or "router" in k.lower() or "routing" in k.lower())
+                for k, v in node.items()
+            }
+        if in_router or "router" in name.lower() or "routing" in name.lower():
+            return "router"
         if name == "w" and getattr(node, "ndim", 0) >= 2:
             return "decay"
         if name in ("b", "bias"):
@@ -87,14 +95,18 @@ def build_optimizer(
     clip_norm: float = 10.0,
     momentum_fn=None,
     bias_lr_fn=None,
+    router_lr_scale: float = 0.5,
 ) -> optax.GradientTransformation:
-    """Full reference-parity optimizer: per-group LRs (bias warmup), momentum
-    warmup schedule, decoupled weight decay on conv/linear weights only,
-    global-norm clip 10.0. ``name``: SGD | AdamW | Adam | RMSProp | Muon | MuSGD.
+    """Full reference-parity optimizer: per-group LRs (bias warmup, router
+    lr x moe_router_lr_scale), momentum warmup schedule, coupled weight decay
+    on conv/linear weights + router params (the reference's g0/g1/g2/router
+    policy, trainer.py:1484-1528), global-norm clip 10.0.
+    ``name``: SGD | AdamW | Adam | RMSProp | Muon | MuSGD.
     """
     name = name.lower()
     momentum_fn = momentum_fn or (lambda s: momentum)
     bias_lr_fn = bias_lr_fn or lr_fn
+    router_lr_fn = (lambda s: router_lr_scale * lr_fn(s)) if callable(lr_fn) else router_lr_scale * lr_fn
 
     def base(lr):
         if name == "sgd":
@@ -115,6 +127,7 @@ def build_optimizer(
             "decay": optax.chain(optax.add_decayed_weights(weight_decay), base(lr_fn)),
             "other": base(lr_fn),
             "bias": base(bias_lr_fn),
+            "router": optax.chain(optax.add_decayed_weights(weight_decay), base(router_lr_fn)),
         },
         labels,
     )

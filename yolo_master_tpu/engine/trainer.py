@@ -199,6 +199,7 @@ class DetectionTrainer:
             weight_decay=weight_decay * batch * self.accumulate / nbs,  # reference wd scaling
             momentum_fn=momentum_schedule if (warmup_steps and opt_name.lower() == "sgd") else None,
             bias_lr_fn=bias_lr_schedule if warmup_steps else None,
+            router_lr_scale=float(self.hyp.get("moe_router_lr_scale", 0.5)),
         )
         if self.adapter_controller is not None:
             self.tx = self.adapter_controller.wrap_optimizer(self.tx)
