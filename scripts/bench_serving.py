@@ -56,12 +56,15 @@ def main():
         x = np.random.default_rng(0).uniform(0, 1, (1, args.imgsz, args.imgsz, 3)).astype(np.float32)
 
         # warm the compiled graphs: bs=1 plus every power-of-two padded
-        # micro-batch size the batcher can hit. First compile through the
-        # relay can take minutes — use a generous timeout.
+        # micro-batch size the batcher can hit — up to the NEXT power of two
+        # above max_batch, since the server pads coalesced batches upward
+        # (a 5-image batch under max_batch=6 pads to 8). First compile
+        # through the relay can take minutes — use a generous timeout.
         warm = InferenceClient(f"127.0.0.1:{port}", timeout=600.0)
         sizes = {1}
         b = 2
-        while max_batch and b <= max_batch:
+        pad_ceiling = 1 << (max_batch - 1).bit_length() if max_batch > 1 else max_batch
+        while max_batch and b <= pad_ceiling:
             sizes.add(b)
             b *= 2
         for s in sorted(sizes):

@@ -162,3 +162,44 @@ def test_dynamic_micro_batching():
             np.testing.assert_allclose(o["scores"], s["scores"], atol=1e-5)
     finally:
         server.stop()
+
+
+def test_mesh_sharded_serving_matches_single_chip():
+    """Multi-chip serving (VERDICT r3 item 7 / BASELINE config 5): the same
+    server with a mesh-sharded predictor must return the same detections as
+    the unsharded one, with requests padded to a multiple of the mesh so the
+    batch axis splits over 'data' (the Triton multi-instance analog,
+    reference utils/triton.py:11)."""
+    pytest.importorskip("grpc")
+    from yolo_master_tpu.engine.predictor import DetectionPredictor
+    from yolo_master_tpu.nn.tasks import DetectionModel
+    from yolo_master_tpu.parallel.mesh import make_mesh
+
+    cfg = {"nc": 2, "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ], "head": [[[2], 1, "Detect", ["nc"]]]}
+    model = DetectionModel(cfg)
+    params = model.init_params(0)
+    x = np.random.default_rng(1).random((3, 64, 64, 3), np.float32)
+
+    outs = {}
+    for name, mesh in (("single", None), ("mesh", make_mesh(8))):
+        pred = DetectionPredictor(model, params, imgsz=64, conf=1e-6, max_det=8,
+                                  max_nms=256, mesh=mesh)
+        server = InferenceServer(pred)
+        port = server.start(port=0)
+        try:
+            client = InferenceClient(f"127.0.0.1:{port}")
+            outs[name] = client.infer(x)
+            client.close()
+        finally:
+            server.stop()
+
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(outs["mesh"][k], np.float32),
+            np.asarray(outs["single"][k], np.float32),
+            atol=2e-5, err_msg=k,
+        )

@@ -75,7 +75,14 @@ class DetectionPredictor:
         backend=None,
         second_nms_iou: Optional[float] = None,
         verbose: bool = False,
+        mesh=None,
     ):
+        # Multi-chip inference (SURVEY §7 step 8 / BASELINE config 5): with a
+        # mesh, the jitted graph shards the batch over the 'data' axis and
+        # replicates params — serving throughput scales with jax.device_count()
+        # (the reference's analog is the Triton multi-instance path,
+        # ultralytics/utils/triton.py:11). Batch sizes must divide the mesh.
+        self.mesh = mesh
         self.backend = backend  # AutoBackend for exported artifacts
         if backend is not None:
             model = backend.model if backend.model is not None else model
@@ -171,6 +178,13 @@ class DetectionPredictor:
                     det["loose"] = nms(self.second_nms_iou)
                 return det
 
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                run = jax.jit(
+                    run.__wrapped__,
+                    in_shardings=(NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P("data"))),
+                )
             self._jitted[bs] = run
         return self._jitted[bs]
 

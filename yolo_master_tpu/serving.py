@@ -88,10 +88,15 @@ class InferenceServer:
     the graph, so serving latency is the compiled-graph latency."""
 
     def __init__(self, predictor, names: Optional[Dict[int, str]] = None, max_workers: int = 4,
-                 max_batch: int = 0, batch_window_ms: float = 2.0):
+                 max_batch: int = 0, batch_window_ms: float = 2.0,
+                 max_message_mb: int = 256):
         self.predictor = predictor
         self.names = names or getattr(predictor, "names", {})
         self.max_workers = max_workers
+        # Memory-exhaustion surface on non-loopback binds: an unauthenticated
+        # peer can send payloads up to this cap. Keep the default only behind
+        # 127.0.0.1; lower it when start(address=...) exposes the port.
+        self.max_message_mb = max_message_mb
         self._server = None
         # dynamic micro-batching (Triton's dynamic_batching analog): requests
         # arriving within batch_window_ms coalesce into one device call up to
@@ -133,6 +138,12 @@ class InferenceServer:
 
         bs = x.shape[0]
         pad_to = max(1, 1 << (bs - 1).bit_length())
+        mesh = getattr(self.predictor, "mesh", None)
+        if mesh is not None:
+            # mesh-sharded graph: the batch axis splits over 'data', so pad to
+            # a multiple of the device count (serving scales with the mesh)
+            n = mesh.devices.size
+            pad_to = n * ((pad_to + n - 1) // n)
         if pad_to != bs:
             x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
         xd = jax.device_put(jnp.asarray(x, self.predictor.compute_dtype))  # staged
@@ -198,7 +209,10 @@ class InferenceServer:
         }
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=self.max_workers),
-            options=_MSG_SIZE_OPTIONS,
+            options=[
+                ("grpc.max_receive_message_length", self.max_message_mb * 1024 * 1024),
+                ("grpc.max_send_message_length", self.max_message_mb * 1024 * 1024),
+            ],
         )
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(SERVICE, handlers),))
