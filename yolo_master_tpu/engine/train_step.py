@@ -166,6 +166,7 @@ def make_train_step(
     traced_moe_gain: bool = False,
     expert_axis: Optional[str] = None,
     jit_compile: bool = True,
+    remat: bool = False,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -220,17 +221,25 @@ def make_train_step(
             metrics["moe_stats"] = ctx.stats
         return total, (metrics, ctx.updates, new_ema)
 
+    # remat: recompute forward activations during the backward pass instead of
+    # storing them (jax.checkpoint) — the TPU analog of the reference's
+    # lora_gradient_checkpointing / torch checkpointing flags. This trades
+    # FLOPs for activation memory, NOT for speed: at bs=64@640 on one v5e it
+    # measures +105 ms/step (docs/tpu_performance.md) — use it only when the
+    # un-remat step OOMs (bigger models/batches), never for throughput.
+    grad_target = jax.checkpoint(loss_fn) if remat else loss_fn
+
     def grad_fn(params, batch, step_idx, moe_gain=None, aux_ema=None):
         """Gradients, optionally accumulated over micro-batches (the functional
         analog of the reference's nbs grad accumulation, trainer.py:649-666)."""
         if accumulate <= 1:
-            return jax.value_and_grad(loss_fn, has_aux=True)(params, batch, step_idx, moe_gain, aux_ema)
+            return jax.value_and_grad(grad_target, has_aux=True)(params, batch, step_idx, moe_gain, aux_ema)
         micro = jax.tree_util.tree_map(
             lambda a: a.reshape(accumulate, a.shape[0] // accumulate, *a.shape[1:]), batch
         )
 
         def micro_step(mb, ema):
-            return jax.value_and_grad(loss_fn, has_aux=True)(params, mb, step_idx, moe_gain, ema)
+            return jax.value_and_grad(grad_target, has_aux=True)(params, mb, step_idx, moe_gain, ema)
 
         first_mb = jax.tree_util.tree_map(lambda a: a[0], micro)
         (total, (metrics, updates, ema)), grads = micro_step(first_mb, aux_ema)

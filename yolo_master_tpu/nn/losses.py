@@ -44,9 +44,13 @@ def dfl_loss(pred_dist, target, reg_max: int):
     wl = tr.astype(jnp.float32) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], -1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], -1)[..., 0]
-    return jnp.mean(ce_l * wl + ce_r * wr, axis=-1)
+    # select the tl/tr bins via an iota-compare reduction instead of two
+    # take_along_axis gathers: a lane-axis gather (and its scatter-add
+    # backward) serializes on TPU — measured 75 ms of the bs=64@640 loss
+    # stage; the fused compare+sum form is bytes-free. Same math exactly.
+    iota = jnp.arange(reg_max, dtype=jnp.int32)
+    sel = wl[..., None] * (iota == tl[..., None]) + wr[..., None] * (iota == jnp.clip(tr, 0, reg_max - 1)[..., None])
+    return jnp.mean(-jnp.sum(logp * sel, -1), axis=-1)
 
 
 def detection_loss(
@@ -76,9 +80,14 @@ def detection_loss(
     pred_ltrb = dfl_decode(pred_dist, reg_max)  # [B,A,4]
     pred_bboxes = dist2bbox(pred_ltrb, anchors[None], xywh=False)
 
+    # TAL metric inputs are fp32 even under bf16 training: a bf16 align metric
+    # (x^6 on [0,1] overlaps with an 8-bit mantissa) measurably degrades
+    # assignment quality (the AdamW+bf16 overfit gate stops learning) and the
+    # fp32->bf16 swap bought no wall-clock at all — the assigner is top-k- and
+    # fusion-bound, not bytes-bound (runs/bench/perf_sweep_train.json).
     assign = task_aligned_assign(
         jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores).astype(jnp.float32)),
-        jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
+        jax.lax.stop_gradient(pred_bboxes).astype(jnp.float32) * stride_t[None],
         anchors * stride_t,
         gt_classes,
         gt_bboxes,
