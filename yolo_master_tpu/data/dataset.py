@@ -568,6 +568,25 @@ class SegmentDataset(YOLODataset):
                 rows.append(np.asarray(vals, np.float32))
         return rows  # variable-length rows: plain list of float32 arrays
 
+    @staticmethod
+    def _resample_polygon(poly: np.ndarray, n: int = 1000) -> np.ndarray:
+        """Reference utils/ops.py:454 resample_segments: close the ring and
+        linearly interpolate to n points, keeping the original vertices.
+        Rasterizing the DENSE ring (then int32-truncating every point, like
+        the reference's polygon2mask) places boundary pixels differently from
+        rasterizing the sparse corner list — a measured ~2 px/instance gt-mask
+        drift that shows up at the strict mask-mAP50-95 IoU thresholds."""
+        if len(poly) >= n:
+            s = np.concatenate([poly, poly[0:1]], 0)
+            x = np.linspace(0, len(s) - 1, n)
+        else:
+            s = np.concatenate([poly, poly[0:1]], 0)
+            xp0 = np.arange(len(s))
+            x = np.linspace(0, len(s) - 1, n - len(s))
+            x = np.insert(x, np.searchsorted(x, xp0), xp0)
+        xp = np.arange(len(s))
+        return np.stack([np.interp(x, xp, s[:, 0]), np.interp(x, xp, s[:, 1])], -1).astype(np.float32)
+
     def load_sample(self, idx: int, rng: random.Random):
         import cv2
 
@@ -581,13 +600,20 @@ class SegmentDataset(YOLODataset):
         for row in rows:
             c = row[0]
             poly = row[1:].reshape(-1, 2) * [w0, h0]
-            poly = poly * ratio[0] + [pad[0], pad[1]]
+            poly = self._resample_polygon(poly) * ratio[0] + [pad[0], pad[1]]
             x1, y1 = poly.min(0)
             x2, y2 = poly.max(0)
             boxes.append([x1, y1, x2, y2])
             cls.append(c)
-            m = np.zeros((mh, mw), np.uint8)
-            cv2.fillPoly(m, [np.round(poly / self.mask_ratio).astype(np.int32)], 1)
+            # reference protocol (data/utils.py:349 polygon2mask): rasterize at
+            # FULL letterboxed resolution with int32-truncated coords, then
+            # cv2.resize (INTER_LINEAR) down to the mask grid — rasterizing
+            # directly at mask resolution shifts boundary pixels and breaks
+            # mask-mAP parity vs the reference validator
+            m = np.zeros((H, W), np.uint8)
+            cv2.fillPoly(m, [poly.astype(np.int32)], 1)
+            if self.mask_ratio != 1:
+                m = cv2.resize(m, (mw, mh))
             masks.append(m)
         im_rgb = im_lb[..., ::-1].astype(np.uint8)
         lbl = np.concatenate([np.asarray(cls, np.float32)[:, None], np.asarray(boxes, np.float32)], -1) if cls else np.zeros((0, 5), np.float32)

@@ -102,20 +102,37 @@ class PosePredictor(DetectionPredictor):
 
 
 class OBBPredictor(DetectionPredictor):
-    """Oriented detections (reference obb/predict.py). NMS greedily suppresses
-    over enclosing AABBs (static-shape stand-in for probiou fast_nms, noted in
-    validators_task.OBBValidator); angle rides the extra channel."""
+    """Oriented detections (reference obb/predict.py): probIoU rotated
+    fast-NMS on device (reference utils/nms.py:150-153,193 — the same keep-set
+    the OBBValidator scores), xywhr un-letterboxed on host."""
+
+    def _get_fn(self, bs: int):
+        if bs not in self._jitted:
+            from ..ops.nms import rotated_non_max_suppression
+
+            model, conf, iou, max_det, max_nms = self.model, self.conf, self.iou, self.max_det, self.max_nms
+
+            @jax.jit
+            def run(params, x):
+                preds = model.forward_train(params, x, Context(training=False))
+                decoded = model.head.decode(preds)  # [B, A, 4+nc+1] xywh + scores + angle
+                return rotated_non_max_suppression(decoded, nc=model.nc, conf_thres=conf,
+                                                   iou_thres=iou, max_det=max_det,
+                                                   max_nms=max_nms, agnostic=self.agnostic,
+                                                   multi_label=False)
+
+            self._jitted[bs] = run
+        return self._jitted[bs]
 
     def _build_result(self, path, orig_img, meta, det) -> Results:
         orig_shape, ratio, pad = meta
         n = int(det["valid"].sum())
-        boxes = det["boxes"][:n].copy()
-        angle = det["extra"][:n, 0] if det["extra"].shape[-1] else np.zeros(n)
-        cx = ((boxes[:, 0] + boxes[:, 2]) / 2 - pad[0]) / ratio[0]
-        cy = ((boxes[:, 1] + boxes[:, 3]) / 2 - pad[1]) / ratio[1]
-        w = (boxes[:, 2] - boxes[:, 0]) / ratio[0]
-        h = (boxes[:, 3] - boxes[:, 1]) / ratio[1]
-        data = np.stack([cx, cy, w, h, angle, det["scores"][:n], det["classes"][:n]], -1)
+        rb = det["rboxes"][:n].copy()
+        cx = (rb[:, 0] - pad[0]) / ratio[0]
+        cy = (rb[:, 1] - pad[1]) / ratio[1]
+        w = rb[:, 2] / ratio[0]
+        h = rb[:, 3] / ratio[1]
+        data = np.stack([cx, cy, w, h, rb[:, 4], det["scores"][:n], det["classes"][:n]], -1)
         return Results(orig_img, path=path, names=self.names, obb=data)
 
 

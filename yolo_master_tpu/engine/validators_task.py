@@ -36,14 +36,16 @@ def mask_iou_np(gt_masks: np.ndarray, pred_masks: np.ndarray, eps: float = 1e-7)
 
 
 def oks_np(gt_kpts: np.ndarray, pred_kpts: np.ndarray, areas: np.ndarray, ndim: int = 3, eps: float = 1e-7) -> np.ndarray:
-    """Object keypoint similarity [M, N] (reference utils/metrics.py kpt_iou)."""
+    """Object keypoint similarity [M, N] (reference utils/metrics.py:201 kpt_iou:
+    e = d / ((2*sigma)^2 * (area+eps) * 2), the cocoeval formulation; visibility
+    mask is gt vis != 0, normalized by visible-count + eps)."""
     M, nk = gt_kpts.shape[:2]
     N = len(pred_kpts)
     sigmas = OKS_SIGMA if nk == 17 else np.ones(nk, np.float32) / nk
     d = (gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2 + (gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]) ** 2
-    vis = (gt_kpts[..., 2] > 0) if ndim == 3 else np.ones((M, nk), bool)
-    e = d / (2 * sigmas[None, None] ** 2 * (areas[:, None, None] + eps) * 2)
-    oks = np.sum(np.exp(-e) * vis[:, None, :], -1) / np.maximum(vis.sum(-1)[:, None], 1)
+    vis = (gt_kpts[..., 2] != 0) if ndim == 3 else np.ones((M, nk), bool)
+    e = d / ((2 * sigmas[None, None]) ** 2 * (areas[:, None, None] + eps) * 2)
+    oks = np.sum(np.exp(-e) * vis[:, None, :], -1) / (vis.sum(-1)[:, None] + eps)
     return oks
 
 
@@ -218,16 +220,18 @@ class OBBValidator(_TaskValidator):
 
     def _jit(self):
         if self._fn is None:
+            from ..ops.nms import rotated_non_max_suppression
+
             model, conf, max_det = self.model, self.conf, self.max_det
 
             def run(p, x):
                 preds = model.forward_train(p, x, Context(training=False))
                 decoded = model.head.decode(preds)  # [B, A, 4+nc+1] xywh + scores + angle
-                # rotated NMS: greedy over axis-aligned IoU of enclosing boxes
-                # with class offset (reference uses fast_nms(probiou); enclosing
-                # AABB greedy is the static-shape stand-in, exactness gap noted)
-                det = non_max_suppression(decoded[..., : 4 + model.nc + 1], nc=model.nc, conf_thres=conf,
-                                          iou_thres=self.iou, max_det=max_det, max_nms=4096, multi_label=True)
+                # reference nms.py:150-153: rotated branch = fast-NMS over
+                # probIoU with the class offset applied to box centers
+                det = rotated_non_max_suppression(decoded, nc=model.nc, conf_thres=conf,
+                                                  iou_thres=self.iou, max_det=max_det,
+                                                  max_nms=4096, multi_label=True)
                 return {"det": det}
 
             self._fn = jax.jit(run)
@@ -239,12 +243,7 @@ class OBBValidator(_TaskValidator):
         gt_n = int(batch["mask"][i].sum())
         scores, cls = det["scores"][i, :n], det["classes"][i, :n]
         gt_cls = batch["classes"][i, :gt_n]
-        # rebuild xywhr from xyxy boxes + angle extra channel
-        boxes = det["boxes"][i, :n]
-        angle = det["extra"][i, :n, 0] if det["extra"].shape[-1] else np.zeros(n)
-        xywh = np.stack([(boxes[:, 0] + boxes[:, 2]) / 2, (boxes[:, 1] + boxes[:, 3]) / 2,
-                         boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]], -1) if n else np.zeros((0, 4))
-        pred_r = np.concatenate([xywh, angle[:, None]], -1) if n else np.zeros((0, 5))
+        pred_r = det["rboxes"][i, :n] if n else np.zeros((0, 5))
         gt_r = batch["rboxes"][i, :gt_n]
         iou = probiou_np(gt_r, pred_r) if n and gt_n else np.zeros((gt_n, n))
         stats["box"].append((match_predictions(cls, gt_cls, iou) if n else np.zeros((0, len(IOUV)), bool), scores, cls, gt_cls))

@@ -286,13 +286,18 @@ class ConvTranspose2x(Module):
         }
 
     def __call__(self, p: Params, x, ctx: Context):
-        y = jax.lax.conv_transpose(
-            x,
-            p["w"].astype(x.dtype),
-            strides=(2, 2),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # k=2/s=2 transposed conv == matmul + depth-to-space:
+        #   out[b, 2i+d, 2j+e, o] = sum_c x[b,i,j,c] * W[d,e,o,c]
+        # with W = torch ConvTranspose2d weight (cin,cout,kh,kw) transposed to
+        # (kh,kw,cout,cin) — exactly what import_state_dict produces. The
+        # previous lax.conv_transpose(HWIO) call read the kernel with its
+        # channel axes SWAPPED (silent for Proto's square cin==cout; caught by
+        # the trained-weights mask-mAP parity gate, tests/test_task_val_parity).
+        # HIGHEST precision: keep fp32 runs exact (the op is ~26 MFLOP, free).
+        B, H, W, _ = x.shape
+        w = p["w"].astype(x.dtype)  # [2, 2, cout, cin]
+        y = jnp.einsum("bhwc,deoc->bhdweo", x, w, precision=jax.lax.Precision.HIGHEST)
+        y = y.reshape(B, H * 2, W * 2, w.shape[2])
         return y + p["b"].astype(y.dtype)
 
 

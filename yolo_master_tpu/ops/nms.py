@@ -219,6 +219,90 @@ def non_max_suppression(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=("nc", "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic", "multi_label"),
+)
+def rotated_non_max_suppression(
+    prediction: jnp.ndarray,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 2048,
+    agnostic: bool = False,
+    multi_label: bool = False,
+):
+    """Batched rotated-box NMS, reference-exact.
+
+    Reference semantics: ultralytics/utils/nms.py:150-153 — the rotated branch
+    applies the class offset to the box CENTER and suppresses via
+    ``TorchNMS.fast_nms(boxes, scores, iou_func=batch_probiou)`` (nms.py:193):
+    candidate i is dropped iff ANY higher-scored candidate overlaps it with
+    probIoU >= threshold, regardless of whether that candidate itself survives
+    (Fast-NMS, arXiv:1904.02689). Unlike greedy NMS this is one dense O(k²)
+    probIoU matrix + a triangular reduction — no sequential loop at all, so it
+    maps onto the TPU as a single fused matmul-shaped block with zero
+    scan-carried dependencies.
+
+    Args:
+        prediction: [B, A, 4+nc+1] with xywh + class scores + angle(rad).
+
+    Returns:
+        dict of rboxes [B,max_det,5] (xywhr), scores, classes (-1 invalid),
+        valid mask.
+    """
+    from .rotated import probiou
+
+    def prep(pred):
+        cls_scores = pred[:, 4 : 4 + nc]
+        angle = pred[:, -1]
+        if multi_label and nc > 1:
+            flat = cls_scores.reshape(-1)
+            k = min(max_nms, flat.shape[0])
+            scores, flat_idx = jax.lax.top_k(flat, k)
+            anchor_idx = flat_idx // nc
+            cls_idx = (flat_idx % nc).astype(jnp.float32)
+        else:
+            conf = jnp.max(cls_scores, axis=-1)
+            k = min(max_nms, pred.shape[0])
+            scores, anchor_idx = jax.lax.top_k(conf, k)
+            cls_idx = jnp.argmax(cls_scores[anchor_idx], axis=-1).astype(jnp.float32)
+        rboxes = jnp.concatenate([pred[anchor_idx, :4], angle[anchor_idx, None]], -1)
+        scores = jnp.where(scores > conf_thres, scores, 0.0)
+        return rboxes, scores.astype(jnp.float32), cls_idx
+
+    rboxes, scores, cls_idx = jax.vmap(prep)(prediction)  # [B, k, ...]
+
+    def fast_nms_one(rb, s, ci):
+        # class offset on centers only (reference nms.py:151)
+        off = 0.0 if agnostic else ci[:, None] * MAX_WH
+        b = jnp.concatenate([rb[:, :2] + off, rb[:, 2:]], -1)
+        order = jnp.argsort(-s)  # score-descending, mirrors torch.argsort
+        bs = b[order]
+        ious = probiou(bs[:, None, :], bs[None, :, :])  # [k, k]
+        ious = jnp.triu(ious, k=1)  # only higher-scored rows suppress
+        keep = (ious >= iou_thres).sum(0) == 0
+        keep &= s[order] > 0.0  # sub-threshold candidates are never emitted
+        kept_scores = jnp.where(keep, s[order], -1.0)
+        if kept_scores.shape[0] < max_det:  # fewer candidates than max_det
+            pad = max_det - kept_scores.shape[0]
+            kept_scores = jnp.pad(kept_scores, (0, pad), constant_values=-1.0)
+            order = jnp.pad(order, (0, pad))
+        vals, pick = jax.lax.top_k(kept_scores, max_det)  # score order == rank order
+        return order[pick].astype(jnp.int32), vals > 0.0
+
+    keep_idx, valid = jax.vmap(fast_nms_one)(rboxes, scores, cls_idx)
+    take = jnp.take_along_axis
+    out_r = take(rboxes, keep_idx[..., None], 1) * valid[..., None]
+    return {
+        "rboxes": out_r,
+        "scores": take(scores, keep_idx, 1) * valid,
+        "classes": jnp.where(valid, take(cls_idx, keep_idx, 1), -1.0),
+        "valid": valid,
+    }
+
+
 def _greedy_cw_nms(boxes, scores, iou_thres, max_det, sigma=0.1, weighted_iou=True):
     """Cluster-Weighted NMS: greedy cluster formation + Gaussian-weighted box
     fusion instead of hard suppression (reference README.md:338-364; config

@@ -145,6 +145,10 @@ def import_state_dict(params: Dict[str, Any], state_dict: Dict[str, Any], strict
             # LatentRouter schedule buffers (latent_mixture.py) — ctx.step-derived here
             and not k.endswith("router._noise_std")
             and not k.endswith("router._temperature")
+            # reference CompositeCriterion registers its aux-EMA normalization
+            # state as a buffer ON the model once loss() runs (nn/mixture_loss
+            # EMA) — train-loop bookkeeping, ours lives in TrainState.aux_ema
+            and not k.endswith("_mixture_loss_ema_buf")
         }
         if leftovers:
             raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:10]} (+{max(len(leftovers)-10,0)} more)")
