@@ -326,6 +326,14 @@ class YOLO:
         return n
 
 
+class RTDETR(YOLO):
+    """RT-DETR facade (reference models/rtdetr/model.py RTDETR): the YOLO verb
+    surface over the transformer detector — NMS-free decode, rtdetr task."""
+
+    def __init__(self, model: str = "rtdetr-master", **kw):
+        super().__init__(model, task="rtdetr", **kw)
+
+
 class YOLOWorld(YOLO):
     """Open-vocabulary facade (reference models/yolo/model.py YOLOWorld):
     YOLO with a text-conditioned WorldDetect head + set_classes()."""
