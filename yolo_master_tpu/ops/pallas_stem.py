@@ -117,7 +117,7 @@ def _make_stem_kernel(H: int, W: int, cin: int, c0: int, WQ: int, S: int):
     def kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref):
         s0 = pl.program_id(1) * S
         w0e = w0_ref[...]   # [36*cin, 4c0] f32 (tap-major concat)
-        b0 = b0_ref[...]    # [c0] f32
+        b0 = b0_ref[...]    # [4c0] f32, pre-tiled per packed phase
         w1e = w1_ref[...]   # [2,2,4c0,c1] f32
         b1 = b1_ref[...]    # [c1] f32
         C4 = 4 * c0
@@ -150,8 +150,8 @@ def _make_stem_kernel(H: int, W: int, cin: int, c0: int, WQ: int, S: int):
         lb = (lane // c0) % 2            # phase col bit b
         rows = jax.lax.broadcasted_iota(jnp.int32, (P, WQ, C4), 0) + s0
         cols = jax.lax.broadcasted_iota(jnp.int32, (P, WQ, C4), 1)
-        bias0 = jnp.tile(b0, 4)
-        acc = acc + bias0
+        acc = acc + b0  # [4c0]: pre-tiled on host — an in-kernel tile(b0, 4)
+        # lowers to a lane concatenate Mosaic rejects once 4*c0 > 128 (m-scale)
         acc = acc * jax.nn.sigmoid(acc)
         I = 2 * rows + la - 1
         J = 2 * cols + lb - 1
@@ -187,11 +187,18 @@ def fused_stem(blob, w0, b0, w1, b1, height: int, width: int = 0, interpret: boo
     WQ = wql - 128
     c0, c1 = w0.shape[-1], w1.shape[-1]
     Ho4 = H // 4
-    # single stripe when the working set fits the raised VMEM budget
-    # (blob + pcat bf16 + f32 acc ~ 45 MB at 640px); else 16-aligned stripes
+    # single stripe when the working set fits the raised VMEM budget; else
+    # 16-aligned stripes. The estimate counts the DOUBLE-BUFFERED in/out
+    # windows (2 buffering levels each — omitting them under-counted by ~27 MB
+    # at m-scale c0=64/c1=128 and OOMed the 128 MB vmem cap by 116 KB)
     def vmem_est(S_):
         P_ = S_ + 1
-        return (P_ * WQ * 4 * c0 * 4) + (36 * cin * (S_ + 16) * wql * 2) + GC * hb_pad * wql * 2
+        return (
+            (P_ * WQ * 4 * c0 * 4)  # f32 conv0 accumulator
+            + (36 * cin * (S_ + 16) * wql * 2)  # tap patch loads (bf16)
+            + 2 * GC * hb_pad * wql * 2  # input window x2 buffers
+            + 2 * S_ * (W // 4) * c1 * 2  # output window x2 buffers
+        )
     S = Ho4
     if vmem_est(S) > 72 * 1024 * 1024:
         for cand in (32, 16):
@@ -214,4 +221,4 @@ def fused_stem(blob, w0, b0, w1, b1, height: int, width: int = 0, interpret: boo
         out_specs=pl.BlockSpec((1, S, W // 4, c1), lambda i, s: (i, s, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(blob, w0eff, jnp.asarray(b0, jnp.float32), w1eff, jnp.asarray(b1, jnp.float32))
+    )(blob, w0eff, jnp.tile(jnp.asarray(b0, jnp.float32), 4), w1eff, jnp.asarray(b1, jnp.float32))
