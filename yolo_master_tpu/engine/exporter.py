@@ -103,12 +103,22 @@ def _writer(fmt: str):
 class _ExportJob:
     """Everything a writer needs (model, params, args, paths, metadata)."""
 
-    def __init__(self, model, params, fmt, imgsz, batch, out_path, nms, int8, max_det, conf, iou):
+    def __init__(self, model, params, fmt, imgsz, batch, out_path, nms, int8, max_det, conf, iou,
+                 calibration_data=None, act16=False):
         self.model, self.params = model, params
         self.fmt, self.imgsz, self.batch = fmt, imgsz, batch
         self.out_path = Path(out_path)
         self.nms, self.int8, self.max_det = nms, int8, max_det
         self.conf, self.iou = conf, iou
+        # 16x8 PTQ: int16 activations / int8 weights (tflite's accuracy-first
+        # quantization mode). Detection heads lose ~0.15 mAP50-95 under full
+        # int8 activations on small models (measured, tests/test_quant_accuracy.py)
+        # but only ~0.008 under 16x8 — same artifact size, CPU-kernel coverage.
+        self.act16 = act16
+        # int8 PTQ calibration batches: iterable of [B,H,W,3] float arrays
+        # (the reference calibrates PTQ on args.data val images,
+        # exporter.py int8 path; random ranges are the dataless fallback)
+        self.calibration_data = calibration_data
         self.meta = {
             "format": fmt,
             "imgsz": imgsz,
@@ -193,6 +203,8 @@ def export_model(
     conf: float = 0.25,
     iou: float = 0.45,
     strict_preflight: bool = False,
+    calibration_data=None,
+    act16: bool = False,
 ) -> str:
     """Export to the requested format; returns the artifact path."""
     fmt = fmt.lower()
@@ -215,7 +227,8 @@ def export_model(
     base = output or f"{getattr(model, 'yaml_file', Path('model')).__str__().rsplit('/', 1)[-1].replace('.yaml', '')}"
     out_path = Path(output) if output else Path(f"{base}{info['suffix']}")
 
-    job = _ExportJob(model, params, fmt, imgsz, batch, out_path, nms, int8, max_det, conf, iou)
+    job = _ExportJob(model, params, fmt, imgsz, batch, out_path, nms, int8, max_det, conf, iou,
+                     calibration_data=calibration_data, act16=act16)
     if fmt != "npz":
         # fold Conv+BN before graph capture (reference fuses at export,
         # exporter.py:536 deepcopy+fuse); numerically exact at eval
@@ -283,12 +296,22 @@ def _export_tflite(job: _ExportJob) -> str:
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
 
         def _rep():  # post-training range calibration batches
+            if job.calibration_data is not None:
+                for arr in job.calibration_data:
+                    yield [np.asarray(arr, np.float32)]
+                return
             rng = np.random.default_rng(0)
             for _ in range(8):
                 yield [rng.uniform(0, 1, (job.batch, job.imgsz, job.imgsz, 3)).astype(np.float32)]
 
         converter.representative_dataset = _rep
-        job.meta["int8"] = True
+        if job.act16:
+            converter.target_spec.supported_ops = [
+                tf.lite.OpsSet.EXPERIMENTAL_TFLITE_BUILTINS_ACTIVATIONS_INT16_WEIGHTS_INT8,
+                tf.lite.OpsSet.TFLITE_BUILTINS,
+                tf.lite.OpsSet.SELECT_TF_OPS,
+            ]
+        job.meta["int8"] = "16x8" if job.act16 else True
     job.out_path.write_bytes(converter.convert())
     job.write_meta()
     return str(job.out_path)

@@ -25,11 +25,34 @@ def _is_router_path(path: Tuple[str, ...]) -> bool:
 
 
 def quantize_leaf(w: np.ndarray) -> Dict[str, np.ndarray]:
-    """Per-output-channel symmetric int8 (last axis = output channels for HWIO)."""
+    """Per-output-channel symmetric int8 (last axis = output channels for HWIO).
+
+    The scale per channel is MSE-optimal, not abs-max: abs-max lets a single
+    outlier weight stretch the grid for the whole channel, which is where most
+    of the int8 round-trip mAP loss came from (measured on the synthetic gate,
+    tests/test_quant_accuracy.py). A short grid search over clip ratios picks
+    the scale minimizing round-trip weight MSE per channel — same quantization
+    PLAN as the reference (routers fp16, everything else int8,
+    reference moe/quantize.py:40-58), just a tighter grid."""
     w = np.asarray(w, np.float32)
-    axis = tuple(range(w.ndim - 1)) if w.ndim > 1 else ()
-    amax = np.maximum(np.abs(w).max(axis=axis, keepdims=True), 1e-8)
-    scale = amax / 127.0
+    # channels = last axis for ndim>1 (HWIO/[in,out]); 1-D leaves quantize as
+    # one "channel" (flat [n,1] view) so the same search covers both
+    flat = w.reshape(-1, w.shape[-1]) if w.ndim > 1 else w.reshape(-1, 1)
+    amax = np.maximum(np.abs(flat).max(axis=0, keepdims=True), 1e-8)  # [1, C]
+    best_scale = amax / 127.0
+    best_err = None
+    for ratio in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7):
+        scale = np.maximum(amax * ratio, 1e-8) / 127.0
+        q = np.clip(np.round(flat / scale), -127, 127)
+        err = ((q * scale - flat) ** 2).sum(0, keepdims=True)
+        if best_err is None:
+            best_err = err
+        else:
+            better = err < best_err
+            best_scale = np.where(better, scale, best_scale)
+            best_err = np.minimum(err, best_err)
+    kd_shape = (1,) * (w.ndim - 1) + (w.shape[-1],) if w.ndim > 1 else (1,)
+    scale = best_scale.reshape(kd_shape)
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     return {"q": q, "scale": scale.astype(np.float32)}
 
