@@ -91,17 +91,28 @@ def main():
     # (model-zoo/models.json:5-7 — RTX 4090 TensorRT rig). Ours = e2e bs=16
     # throughput on one chip, same fused-stem + decode + Pallas-NMS path.
     zoo = {}
-    for scale, ref_fps in (("n", 640.18), ("s", 423.87), ("m", 243.79)):
+    rows = [
+        # released-weights v0_10 "EsMoE" family (models.json:6-8)
+        ("esmoe-n", "yolo-master-v0_10-n", 640.18),
+        ("esmoe-s", "yolo-master-v0_10-s", 423.87),
+        ("esmoe-m", "yolo-master-v0_10-m", 243.79),
+        # dense v0.1 baseline family (models.json:11-14 / README.md:582-585)
+        ("v01-n", "yolo-master-v0_1-n", 528.84),
+        ("v01-s", "yolo-master-v0_1-s", 345.24),
+        ("v01-m", "yolo-master-v0_1-m", 170.72),
+        ("v01-l", "yolo-master-v0_1-l", 149.86),
+    ]
+    for key, yaml_name, ref_fps in rows:
         try:
-            ours = zoo_row(f"yolo-master-v0_10-{scale}")
-            zoo[f"esmoe-{scale}"] = {
+            ours = zoo_row(yaml_name)
+            zoo[key] = {
                 "img_per_s": round(ours, 1),
                 "ref_fps": ref_fps,
                 "vs_baseline": round(ours / ref_fps, 4),
             }
         except Exception as e:  # noqa: BLE001
-            print(f"zoo row esmoe-{scale} FAILED: {e!r}", file=sys.stderr)
-            zoo[f"esmoe-{scale}"] = {"ok": False, "error": str(e)}
+            print(f"zoo row {key} FAILED: {e!r}", file=sys.stderr)
+            zoo[key] = {"ok": False, "error": str(e)}
 
     train_ok = True
     try:
