@@ -156,3 +156,18 @@ def test_model_zoo_metadata():
     zoo = {f.stem for f in (repo / "yolo_master_tpu/cfg/models").glob("*.yaml")
            if not f.stem.endswith(("-cls", "-seg", "-pose", "-obb", "-semantic"))}
     assert zoo == ids
+
+
+def test_perf_docs_reference_newest_bench():
+    """README/docs BENCH blocks must quote the newest tracked BENCH_r*.json
+    (VERDICT r4 next #5: the record must never lag the driver again)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(repo / "scripts/update_perf_docs.py"), "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, f"perf docs stale: {r.stdout}{r.stderr}"
