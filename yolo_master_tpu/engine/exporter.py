@@ -210,6 +210,11 @@ def export_model(
     fmt = fmt.lower()
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"unknown format '{fmt}' (choices: {list(EXPORT_FORMATS)})")
+    if act16 and not int8:
+        # 16x8 is a quantization mode; act16 alone would otherwise silently
+        # produce a plain-float artifact
+        LOGGER.info("act16=True implies int8=True (16x8 PTQ mode)")
+        int8 = True
     info = EXPORT_FORMATS[fmt]
     if not info["available"]:
         raise RuntimeError(f"format '{fmt}' unavailable: {info.get('reason')}")
@@ -312,6 +317,11 @@ def _export_tflite(job: _ExportJob) -> str:
                 tf.lite.OpsSet.SELECT_TF_OPS,
             ]
         job.meta["int8"] = "16x8" if job.act16 else True
+        if job.act16:
+            # the supported_ops list permits TFLITE_BUILTINS/SELECT_TF_OPS
+            # fallback, so ops without a 16x8 kernel silently stay float —
+            # record that the artifact may be partially float
+            job.meta["int8_fallback"] = "best-effort 16x8; float fallback permitted for unsupported ops"
     job.out_path.write_bytes(converter.convert())
     job.write_meta()
     return str(job.out_path)

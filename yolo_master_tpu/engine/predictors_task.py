@@ -14,6 +14,7 @@ import numpy as np
 
 from ..nn.module import Context
 from ..ops.nms import non_max_suppression
+from ..utils.metrics import sigmoid_np
 from .predictor import DetectionPredictor
 from .results import Results
 
@@ -56,7 +57,7 @@ class SegmentationPredictor(DetectionPredictor):
             r.masks = None
             return r
         coefs = det["extra"][:n, :nm]
-        pm = 1 / (1 + np.exp(-(coefs @ proto.reshape(-1, nm).T)))  # [n, mh*mw]
+        pm = sigmoid_np(coefs @ proto.reshape(-1, nm).T)  # [n, mh*mw]
         pm = pm.reshape(n, mh, mw)
         # crop to boxes in letterbox space at proto resolution
         sx, sy = mw / self.imgsz[1], mh / self.imgsz[0]

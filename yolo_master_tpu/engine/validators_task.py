@@ -18,7 +18,7 @@ from ..data.dataset import DataLoader, OBBDataset, PoseDataset, SegmentDataset
 from ..nn.module import Context
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER
-from ..utils.metrics import IOUV, DetMetrics, ap_per_class, box_iou_np, match_predictions
+from ..utils.metrics import IOUV, DetMetrics, ap_per_class, box_iou_np, match_predictions, sigmoid_np
 
 OKS_SIGMA = (
     np.array([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89], np.float32)
@@ -162,7 +162,7 @@ class SegmentationValidator(_TaskValidator):
         proto = out["proto"][i]  # [mh, mw, nm]
         mh, mw = proto.shape[:2]
         if n:
-            pm = 1 / (1 + np.exp(-(coefs @ proto.reshape(-1, proto.shape[-1]).T)))  # [n, mh*mw]
+            pm = sigmoid_np(coefs @ proto.reshape(-1, proto.shape[-1]).T)  # [n, mh*mw]
             pm = pm.reshape(n, mh, mw) > 0.5
             scale = mh / (self.imgsz)
             ys, xs = np.mgrid[0:mh, 0:mw]

@@ -305,9 +305,11 @@ def obb_loss(
     tiny = (gt_rboxes[..., 2] < 2) | (gt_rboxes[..., 3] < 2)
     gt_mask = gt_mask & ~tiny
 
+    # Assignment quality degrades measurably from bf16-rounded box coords
+    # (same invariant as the axis-aligned path): run the assigner in fp32.
     assigner_boxes = jnp.concatenate(
         [jax.lax.stop_gradient(pred_rbox[..., :4]) * stride_t[None], jax.lax.stop_gradient(pred_angle)], -1
-    )
+    ).astype(jnp.float32)
     assign = rotated_task_aligned_assign(
         jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores).astype(jnp.float32)),
         assigner_boxes,

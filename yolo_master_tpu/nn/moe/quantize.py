@@ -33,7 +33,13 @@ def quantize_leaf(w: np.ndarray) -> Dict[str, np.ndarray]:
     tests/test_quant_accuracy.py). A short grid search over clip ratios picks
     the scale minimizing round-trip weight MSE per channel — same quantization
     PLAN as the reference (routers fp16, everything else int8,
-    reference moe/quantize.py:40-58), just a tighter grid."""
+    reference moe/quantize.py:40-58), just a tighter grid.
+
+    1-D leaves (biases/norm vectors) intentionally share ONE scale per leaf
+    (flat [n,1] view) rather than the lossless per-element scales of earlier
+    revisions — per-element scales are no compression at all; the shared
+    scale is the sensible behavior and its error is covered by the int8
+    round-trip accuracy gate."""
     w = np.asarray(w, np.float32)
     # channels = last axis for ndim>1 (HWIO/[in,out]); 1-D leaves quantize as
     # one "channel" (flat [n,1] view) so the same search covers both
