@@ -10,8 +10,14 @@ localize the next win in minutes:
   * Pallas greedy NMS vs XLA fast-NMS at each batch size
   * bf16 vs fp32 decode tail
 
-Usage:  python scripts/perf_sweep.py [--bs 1 16] [--imgsz 640] [--out sweep.json]
+Usage:  python scripts/perf_sweep.py [--model yolo-master-v0_1-l] [--bs 1 16]
+        [--imgsz 640] [--layers] [--out sweep.json]
 CPU smoke: add --cpu --tiny (validates the harness, numbers meaningless).
+
+--layers: per-layer prefix attribution — time the forward truncated after
+layer k for every k; layer cost = T(k) - T(k-1). One XLA compile per prefix
+(compile-cache-warmed on repeat runs). This is how the v0.1-L MXU-utilization
+hunt localizes its bottleneck (VERDICT r4 next #1).
 """
 from __future__ import annotations
 
@@ -27,11 +33,13 @@ sys.path.insert(0, str(REPO))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolo-master-n")
     ap.add_argument("--bs", type=int, nargs="+", default=[1, 16])
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--out", default="runs/bench/perf_sweep.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="160px + fewer reps (harness smoke)")
+    ap.add_argument("--layers", action="store_true", help="per-layer prefix attribution (skips the knob sweep)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +57,7 @@ def main() -> int:
     imgsz = 160 if args.tiny else args.imgsz
     reps = (1, 6) if args.tiny else (1, 41)
 
-    model = DetectionModel("yolo-master-n")
+    model = DetectionModel(args.model)
     params = fuse_bn_params(model.init_params(0))
     params = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), params)
     use_pallas_stem = not args.cpu
@@ -88,6 +96,45 @@ def main() -> int:
 
         lo, hi = reps
         return (t(hi) - t(lo)) / (hi - lo)
+
+    def prefix_fwd(k):
+        """Forward truncated after layer k (graph walk with the save-list)."""
+
+        def f(p, x):
+            saved, y = {}, x
+            lp = p["layers"]
+            for spec in model.specs[: k + 1]:
+                fr = spec.f
+                if fr == -1:
+                    inp = y
+                elif isinstance(fr, int):
+                    inp = saved[fr % spec.i]
+                else:
+                    inp = [y if j == -1 else saved[j % spec.i] for j in fr]
+                y = spec.module(lp[str(spec.i)], inp, Context(training=False))
+                if spec.i in model.save:
+                    saved[spec.i] = y
+            if isinstance(y, dict):  # Detect head output
+                return y["one2many"]["scores"].sum().astype(jnp.float32)
+            return y.sum().astype(jnp.float32)
+
+        return f
+
+    if args.layers:
+        out = {"model": args.model, "imgsz": imgsz, "backend": jax.devices()[0].platform, "mode": "per-layer prefix"}
+        for bs in args.bs:
+            prev = 0.0
+            rows = []
+            for k, spec in enumerate(model.specs):
+                tk = timed(prefix_fwd(k), bs)
+                rows.append({"i": k, "module": spec.type_name, "prefix_ms": round(tk, 4), "layer_ms": round(tk - prev, 4)})
+                print(f"bs={bs} layer {k:>2} {spec.type_name:<24} prefix {tk:8.4f} ms  Δ {tk - prev:8.4f} ms")
+                prev = tk
+            out[f"bs{bs}"] = rows
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(out, indent=1))
+        print(f"-> {args.out}")
+        return 0
 
     def fwd_only(p, x):
         preds = model.forward_train(p, x, Context(training=False))

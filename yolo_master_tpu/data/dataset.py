@@ -426,18 +426,37 @@ def _default_collate(ds, samples):
 
 
 class DataLoader:
-    """Infinite (train) or single-pass (val) fixed-shape batch iterator."""
+    """Infinite (train) or single-pass (val) fixed-shape batch iterator.
 
-    def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = False):
+    ``process_shard=(rank, world)`` is the DistributedSampler analog for
+    multi-process runs (reference data/build.py): every process derives the
+    SAME seeded global batch order, then yields only its rank's contiguous
+    bs/world slice of each global batch — parallel.launch.global_batch
+    reassembles the shards into one mesh-sharded global array in rank order.
+    """
+
+    def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, process_shard=None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.process_shard = process_shard
+        if process_shard is not None:
+            rank, world = process_shard
+            assert batch_size % world == 0, f"batch {batch_size} not divisible by {world} processes"
 
     def __len__(self):
         n = len(self.ds)
         return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def _shard(self, idxs):
+        if self.process_shard is None:
+            return idxs
+        rank, world = self.process_shard
+        per = len(idxs) // world
+        return idxs[rank * per : (rank + 1) * per]
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         rng = random.Random(self.seed + epoch)
@@ -450,7 +469,7 @@ class DataLoader:
                 if self.drop_last:
                     break
                 idxs = idxs + order[: self.bs - len(idxs)]  # wrap to keep static shape
-            samples = [self.ds.load_sample(i, rng) for i in idxs]
+            samples = [self.ds.load_sample(i, rng) for i in self._shard(idxs)]
             yield _default_collate(self.ds, samples)
 
 
@@ -474,7 +493,8 @@ class PrefetchLoader:
     """
 
     def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = False, workers: int = 4, prefetch: int = 3, sharding=None):
+                 drop_last: bool = False, workers: int = 4, prefetch: int = 3, sharding=None,
+                 process_shard=None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -483,6 +503,12 @@ class PrefetchLoader:
         self.workers = max(1, workers)
         self.prefetch = max(1, prefetch)
         self.sharding = sharding
+        # (rank, world) DistributedSampler analog — see DataLoader docstring.
+        # Per-sample RNG streams are keyed by GLOBAL batch position, so the
+        # assembled global batch is bit-identical regardless of world size.
+        self.process_shard = process_shard
+        if process_shard is not None:
+            assert batch_size % process_shard[1] == 0, f"batch {batch_size} not divisible by {process_shard[1]} processes"
 
     def __len__(self):
         n = len(self.ds)
@@ -512,9 +538,15 @@ class PrefetchLoader:
 
         def build(bi_idxs):
             bi, idxs = bi_idxs
+            j0 = 0
+            if self.process_shard is not None:  # rank's slice; keep GLOBAL rng keys
+                rank, world = self.process_shard
+                per = len(idxs) // world
+                j0, idxs = rank * per, idxs[rank * per : (rank + 1) * per]
+
             def one(j_i):
                 j, i = j_i
-                return self.ds.load_sample(i, random.Random(base + bi * self.bs + j))
+                return self.ds.load_sample(i, random.Random(base + bi * self.bs + j0 + j))
             samples = list(sample_pool.map(one, enumerate(idxs)))
             batch = _default_collate(self.ds, samples)
             if self.sharding is not None:

@@ -131,6 +131,17 @@ class DetectionTrainer:
         self.close_mosaic = close_mosaic
         compute_dtype = compute_dtype or (jnp.bfloat16 if amp else jnp.float32)
 
+        # multi-process/multi-host (parallel/launch.py): rank-0 gating of
+        # checkpoint/log writes + per-process loader shard (reference RANK-0
+        # gates, utils/torch_utils.py:64 / trainer.py:881)
+        self.n_processes = jax.process_count()
+        from ..parallel.launch import is_main_process
+
+        self.is_main = is_main_process()
+        proc_shard = (jax.process_index(), self.n_processes) if self.n_processes > 1 else None
+        if self.n_processes > 1:
+            assert mesh is not None, "multi-process training requires a global mesh (parallel.launch.global_mesh)"
+
         self.cache = cache
         self.train_set = self._build_dataset(data, "train")
         if workers and workers > 0:
@@ -141,16 +152,16 @@ class DetectionTrainer:
 
             self.loader = PrefetchLoader(
                 self.train_set, batch, shuffle=True, seed=seed,
-                workers=workers, prefetch=prefetch,
+                workers=workers, prefetch=prefetch, process_shard=proc_shard,
             )
         else:
-            self.loader = DataLoader(self.train_set, batch, shuffle=True, seed=seed)
+            self.loader = DataLoader(self.train_set, batch, shuffle=True, seed=seed, process_shard=proc_shard)
         nb = max(len(self.loader), 1)
         # grad accumulation toward the nominal batch (reference nbs=64,
         # accumulate = max(round(nbs/batch), 1)): group `accumulate` loader
         # batches into one super-batch step, micro-batched inside the jit
         self.accumulate = max(1, min(round(nbs / batch), nb))
-        if self.accumulate == 1 and mesh is not None and hasattr(self.loader, "sharding"):
+        if self.accumulate == 1 and mesh is not None and self.n_processes == 1 and hasattr(self.loader, "sharding"):
             # producer-side device_put: overlap host->device transfer with the
             # running step (skipped under accumulation, where super-batches are
             # concatenated on host first)
@@ -234,10 +245,18 @@ class DetectionTrainer:
         if resume:
             ckpt = self.save_dir / "state"
             if ckpt.exists():
+                import json
+
                 from ..utils.checkpoint import load_train_state
 
                 self.state = load_train_state(str(ckpt), self.state)
-                self.start_epoch = int(self.state.step) // max(nb_opt, 1)
+                meta_f = self.save_dir / "state_meta.json"
+                if meta_f.exists():
+                    # explicit epoch record (robust to a loader-length change
+                    # between runs — step//nb_opt would silently misalign)
+                    self.start_epoch = int(json.loads(meta_f.read_text())["epoch"])
+                else:
+                    self.start_epoch = int(self.state.step) // max(nb_opt, 1)
                 LOGGER.info(f"resumed from {ckpt} at epoch {self.start_epoch}")
         self.validator = self._build_validator() if val else None
 
@@ -317,7 +336,13 @@ class DetectionTrainer:
             self.usage_tracker.reset()
             gain = jnp.asarray(self.moe_gain, jnp.float32)
             for batch in self._super_batches(epoch):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.n_processes > 1:
+                    # assemble per-process shards into one global mesh array
+                    from ..parallel.launch import global_batch
+
+                    batch = global_batch(self.mesh, batch)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 self.state, m = self.step_fn(self.state, batch, gain)
                 stats = m.pop("moe_stats", None)
                 if stats:
@@ -352,19 +377,27 @@ class DetectionTrainer:
                     self.moe_gain = self.map_sched.update(metrics_out.get("mAP50-95", 0.0))
                 if fit > best_fitness:
                     best_fitness, best_epoch = fit, epoch
-                    save_params_npz(self.state.ema_params, self.save_dir / "best.npz")
+                    if self.is_main:
+                        save_params_npz(self.state.ema_params, self.save_dir / "best.npz")
                 if epoch - best_epoch >= self.patience:
                     LOGGER.info(f"early stop at epoch {epoch + 1} (no fitness gain for {self.patience} epochs)")
                     break
-            if self.save_period > 0 and (epoch + 1) % self.save_period == 0:
+            if self.save_period > 0 and (epoch + 1) % self.save_period == 0 and self.is_main:
+                import json
+
                 save_train_state(self.state, self.save_dir / "state")
-        self.routing_history.save()
-        if self.routing_history.rows:
+                (self.save_dir / "state_meta.json").write_text(
+                    json.dumps({"epoch": epoch + 1, "nb_opt": nb_opt, "step": int(self.state.step)})
+                )
+        if self.is_main:
+            self.routing_history.save()
+        if self.is_main and self.routing_history.rows:
             from ..nn.moe.analysis import render_dashboard
 
             render_dashboard(self.routing_history)  # routing_dashboard.html (reference moe/viz.py)
         self.callbacks.fire("on_train_end")
-        save_params_npz(self.state.ema_params, self.save_dir / "last.npz")
+        if self.is_main:
+            save_params_npz(self.state.ema_params, self.save_dir / "last.npz")
         if self.adapter_controller is not None:
             # fold adapters into plain deployable weights; adapters.npz saved
             # separately (reference strip/publish flow, lora/io.py)
