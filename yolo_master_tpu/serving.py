@@ -146,14 +146,30 @@ class InferenceServer:
             pad_to = n * ((pad_to + n - 1) // n)
         if pad_to != bs:
             x = np.concatenate([x, np.zeros((pad_to - bs, *x.shape[1:]), x.dtype)], 0)
-        xd = jax.device_put(jnp.asarray(x, self.predictor.compute_dtype))  # staged
+        # uint8 stays uint8 on the host->device transfer (4x less traffic than
+        # fp32 — the bottleneck on relay-attached chips); the graph casts on
+        # device, valid when /255 is folded into the stem (fold_uint8_input)
+        dt = x.dtype if x.dtype == np.uint8 else self.predictor.compute_dtype
+        xd = jax.device_put(jnp.asarray(x, dt))  # staged
         with self._dispatch_lock:
             out = self.predictor._get_fn(pad_to)(self.predictor.params, xd)
-        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:bs], out)
+        # ONE batched device->host transfer (leaf-by-leaf np.asarray costs a
+        # full relay round-trip per leaf)
+        out = jax.device_get(out)
+        return jax.tree_util.tree_map(lambda a: a[:bs], out)
 
     def _infer(self, request: bytes, ctx) -> bytes:
         tensors, meta = decode(request)
-        x = tensors["images"].astype(np.float32)
+        x = tensors["images"]
+        # canonicalize to the SCALE the model expects; folded stems
+        # (fold_uint8_input / pallas_stem_fuse uint8_input=True) carry the
+        # /255 in their weights and want 0..255-scale inputs
+        folded = getattr(self.predictor.model, "input_blob_uint8", False)
+        if x.dtype == np.uint8:
+            if not folded:
+                x = x.astype(np.float32) / 255.0
+        else:
+            x = x.astype(np.float32) * 255.0 if folded else x.astype(np.float32)
         bs = x.shape[0]
         if self._queue is None:
             out = self._run_device(x)
@@ -179,7 +195,13 @@ class InferenceServer:
         except _q.Empty:
             pass
         if batch:  # this thread became the batch leader
-            xs = np.concatenate([s["x"] for s in batch], 0)
+            arrs = [s["x"] for s in batch]
+            if len({a.dtype for a in arrs}) > 1:
+                # mixed uint8/float clients in one window: _infer already
+                # canonicalized SCALE per the model's folded-stem mode, so
+                # dtype unification is a plain cast (no rescale)
+                arrs = [a.astype(np.float32) for a in arrs]
+            xs = np.concatenate(arrs, 0)
             out = self._run_device(xs)
             i = 0
             import jax
@@ -255,9 +277,13 @@ class InferenceClient:
         return meta
 
     def infer(self, images: np.ndarray) -> Dict[str, np.ndarray]:
-        """images: [B, H, W, 3] float32 in [0,1] (already letterboxed)."""
-        blob = self._rpc["ModelInfer"](encode({"images": np.asarray(images, np.float32)}),
-                                       timeout=self.timeout)
+        """images: [B, H, W, 3], float32 in [0,1] OR raw uint8 (already
+        letterboxed). uint8 ships as-is — 4x less wire+transfer traffic; the
+        server normalizes (or the model's folded stem does, for free)."""
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+        blob = self._rpc["ModelInfer"](encode({"images": images}), timeout=self.timeout)
         tensors, _ = decode(blob)
         return tensors
 

@@ -112,6 +112,24 @@ def pallas_stem_fuse(model, params, imgsz: int, width: int = 0, uint8_input: boo
     return params
 
 
+def fold_uint8_input(model, params):
+    """Fold the /255 input normalization into the layer-0 conv weights so the
+    model accepts RAW uint8 NHWC images (cast-only on device, no scaling op).
+
+    The non-Pallas analog of ``pallas_stem_fuse(uint8_input=True)`` — use for
+    paths that feed plain NHWC (serving, AutoBackend) rather than s2d4 blobs.
+    uint8 halves-again the host->device transfer vs bf16 (4x vs fp32), which
+    is the serving bottleneck on relay-attached chips (~74 MB/s measured).
+    Returns a NEW params tree; sets ``model.input_blob_uint8``."""
+    from ..nn.module import dict_copy
+
+    params = dict_copy(params)
+    l0 = params["layers"]["0"]["conv"]
+    l0["w"] = l0["w"] / 255.0
+    model.input_blob_uint8 = True
+    return params
+
+
 def block_c3k2(model, params, layers=None, min_pad_ratio: float = 2.0):
     """Rewrite small-channel C3k2 blocks to space-to-depth(2) BLOCKED
     execution (nn/blocked.py — the HBM-padding fix; exact).
