@@ -22,9 +22,34 @@ CFG = {
     "backbone": [
         [-1, 1, "Conv", [8, 3, 2]],
         [-1, 1, "Conv", [16, 3, 2]],
-        [-1, 1, "ES_MOE", [16, 16, 4]],  # 4 experts -> kernels 3/5/7/9
+        [-1, 1, "ES_MOE", [16, 16, 4]],  # (c2=16, num_experts=16, reduction=4)
     ],
     "head": [[[2], 1, "Detect", ["nc"]]],
+}
+
+# Multi-scale routed topology (VERDICT r4 next #9): TWO ES_MOE blocks at TWO
+# pyramid scales plus the PAN save-list wiring (Upsample + Concat) and a
+# 2-scale Detect — the smallest config whose EP sharding exercises expert
+# banks of different channel widths and spatial sizes in one step. Kept
+# separate from CFG so cold rigs still have the 3-layer fast gate.
+CFG_DEEP = {
+    "nc": 2,
+    "backbone": [
+        [-1, 1, "Conv", [8, 3, 2]],        # 0  /2
+        [-1, 1, "Conv", [16, 3, 2]],       # 1  /4 (P2)
+        [-1, 1, "ES_MOE", [16, 4, 4]],     # 2  4 experts @ /4
+        [-1, 1, "Conv", [24, 3, 2]],       # 3  /8 (P3)
+        [-1, 1, "ES_MOE", [24, 4, 4]],     # 4  4 experts @ /8
+    ],
+    "head": [
+        [-1, 1, "Upsample", [None, 2, "nearest"]],  # 5
+        [[-1, 2], 1, "Concat", [1]],                # 6  cat P2
+        [-1, 1, "Conv", [16, 3, 1]],                # 7  P2 out
+        [-1, 1, "Conv", [16, 3, 2]],                # 8  down
+        [[-1, 4], 1, "Concat", [1]],                # 9  cat P3
+        [-1, 1, "Conv", [24, 3, 1]],                # 10 P3 out
+        [[7, 10], 1, "Detect", ["nc"]],             # 11
+    ],
 }
 
 
@@ -62,9 +87,13 @@ def test_ep_forward_equals_dense_loop():
             )
 
 
-def test_ep_dp_step_equals_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("cfg", [CFG, CFG_DEEP], ids=["mini", "deep-2moe-2scale"])
+def test_ep_dp_step_equals_single_device(cfg):
     """One train step on a 4x2 (data, expert) mesh == unsharded step."""
-    model = DetectionModel(CFG)
+    model = DetectionModel(cfg)
     batch = _batch(8)
 
     results = {}
