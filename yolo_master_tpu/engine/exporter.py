@@ -104,7 +104,7 @@ class _ExportJob:
     """Everything a writer needs (model, params, args, paths, metadata)."""
 
     def __init__(self, model, params, fmt, imgsz, batch, out_path, nms, int8, max_det, conf, iou,
-                 calibration_data=None, act16=False):
+                 calibration_data=None, act16=False, host_decode=False):
         self.model, self.params = model, params
         self.fmt, self.imgsz, self.batch = fmt, imgsz, batch
         self.out_path = Path(out_path)
@@ -133,12 +133,41 @@ class _ExportJob:
             "model": str(getattr(model, "yaml_file", "") or ""),
             "output": "[B,max_det,6]" if nms else "[B,A,4+nc]",
         }
+        # host_decode: the artifact returns RAW head logits and AutoBackend
+        # runs the DFL/decode/sigmoid tail in float on the host. Full-int8
+        # activation grids destroy that tail (~0.21 mAP50-95 measured,
+        # tests/test_quant_accuracy.py) while the all-conv body quantizes
+        # near-free — this split is also the edgetpu-optimal partition (the
+        # body maps 100% onto the accelerator, the tail was CPU-bound anyway).
+        self.host_decode = host_decode
+        if host_decode:
+            head = model.head
+            self.meta.update({
+                "decode": "host",
+                "reg_max": int(getattr(head, "reg_max", 16)),
+                "strides": [int(s) for s in head.strides],
+                "hw_shapes": [[imgsz // int(s), imgsz // int(s)] for s in head.strides],
+                "end2end": bool(getattr(head, "end2end", False)),
+                "xyxy": bool(getattr(head, "xyxy", False)),
+                "output": "[B,A,4*reg_max+nc] raw head logits (host float decode)",
+            })
         self._tf_fn = None
 
     # -- shared pieces -------------------------------------------------------
     def infer_fn(self):
         model, params = self.model, self.params
         nms, max_det, conf, iou = self.nms, self.max_det, self.conf, self.iou
+
+        if self.host_decode:
+            def infer_raw(x):
+                preds = model.forward_train(params, x, Context(training=False))
+                branch = preds["one2one"] if model.head.end2end else preds["one2many"]
+                return jnp.concatenate(
+                    [branch["boxes"].astype(jnp.float32), branch["scores"].astype(jnp.float32)], -1
+                )  # [B, A, 4*reg_max + nc] raw logits
+
+            example = jnp.zeros((self.batch, self.imgsz, self.imgsz, 3), jnp.float32)
+            return infer_raw, example
 
         def infer(x):
             decoded = model.forward_predict(params, x, Context(training=False))
@@ -186,7 +215,8 @@ class _ExportJob:
         return export_model(
             self.model, self.params, fmt=fmt, imgsz=self.imgsz, batch=self.batch,
             output=base + EXPORT_FORMATS[fmt]["suffix"], nms=self.nms,
-            int8=over.get("int8", False), max_det=self.max_det,
+            int8=over.get("int8", False), act16=over.get("act16", False),
+            max_det=self.max_det, calibration_data=self.calibration_data,
         )
 
 
@@ -205,8 +235,15 @@ def export_model(
     strict_preflight: bool = False,
     calibration_data=None,
     act16: bool = False,
+    host_decode: Optional[bool] = None,
 ) -> str:
-    """Export to the requested format; returns the artifact path."""
+    """Export to the requested format; returns the artifact path.
+
+    host_decode: artifact returns raw head logits; AutoBackend runs the
+    DFL/decode/sigmoid tail in float on the host. Defaults ON for full-int8
+    detect exports (int8=True, act16=False) — int8 activation grids on the
+    decode tail cost ~0.21 mAP50-95 (measured) while the all-conv body is
+    near-free, and the split is the edgetpu-optimal partition."""
     fmt = fmt.lower()
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"unknown format '{fmt}' (choices: {list(EXPORT_FORMATS)})")
@@ -215,6 +252,15 @@ def export_model(
         # produce a plain-float artifact
         LOGGER.info("act16=True implies int8=True (16x8 PTQ mode)")
         int8 = True
+    if host_decode is None:
+        host_decode = bool(
+            int8 and not act16
+            and getattr(model, "task", "detect") == "detect"
+            and hasattr(getattr(model, "head", None), "reg_max")
+        )
+    if host_decode and nms:
+        LOGGER.info("host_decode: NMS moves to the host with the float decode tail")
+        nms = False
     info = EXPORT_FORMATS[fmt]
     if not info["available"]:
         raise RuntimeError(f"format '{fmt}' unavailable: {info.get('reason')}")
@@ -233,7 +279,7 @@ def export_model(
     out_path = Path(output) if output else Path(f"{base}{info['suffix']}")
 
     job = _ExportJob(model, params, fmt, imgsz, batch, out_path, nms, int8, max_det, conf, iou,
-                     calibration_data=calibration_data, act16=act16)
+                     calibration_data=calibration_data, act16=act16, host_decode=host_decode)
     if fmt != "npz":
         # fold Conv+BN before graph capture (reference fuses at export,
         # exporter.py:536 deepcopy+fuse); numerically exact at eval

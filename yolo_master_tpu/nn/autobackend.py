@@ -127,6 +127,33 @@ class AutoBackend:
     # -- unified forward -------------------------------------------------------
     def __call__(self, x: np.ndarray) -> np.ndarray:
         """x: [B, H, W, 3] float32 NHWC in [0,1] -> decoded preds or detections."""
+        out = self._forward(x)
+        if self.meta.get("decode") == "host":
+            out = self._host_decode(out)
+        return out
+
+    def _host_decode(self, raw: np.ndarray) -> np.ndarray:
+        """Float DFL/decode/sigmoid tail for artifacts exported with
+        host_decode=True (full-int8 PTQ: the quantized body returns raw head
+        logits [B, A, 4*reg_max+nc]; int8 activation grids on this tail cost
+        ~0.21 mAP50-95, measured in tests/test_quant_accuracy.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.anchors import dfl_decode, dist2bbox, make_anchors
+
+        m = self.meta
+        reg_max = int(m.get("reg_max", 16))
+        strides = [int(s) for s in m["strides"]]
+        hw = [(int(h), int(w)) for h, w in m["hw_shapes"]]
+        raw = jnp.asarray(raw, jnp.float32)
+        anchors, strd = make_anchors(hw, strides)
+        dist = dfl_decode(raw[..., : 4 * reg_max], reg_max)
+        xywh = not bool(m.get("end2end")) and not bool(m.get("xyxy"))
+        dbox = dist2bbox(dist, anchors[None], xywh=xywh) * strd[None]
+        return np.asarray(jnp.concatenate([dbox, jax.nn.sigmoid(raw[..., 4 * reg_max :])], -1))
+
+    def _forward(self, x: np.ndarray) -> np.ndarray:
         if self.kind in ("native", "npz"):
             import jax
 
