@@ -34,6 +34,8 @@ sys.path.insert(0, str(REPO))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolo-master-n",
+                    help="model yaml name (e.g. yolo-master-v0_1-s, yolo-master-v0_10-s)")
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--max-gt", type=int, default=32)
@@ -62,7 +64,7 @@ def main() -> int:
     reps = (1, 3) if args.tiny else (1, 6)
     hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "moe": 0.01}
 
-    model = DetectionModel("yolo-master-n")
+    model = DetectionModel(args.model)
     params0 = model.init_params(0)
     tx = make_optimizer(0.01, params=params0)
 
@@ -165,7 +167,8 @@ def main() -> int:
 
         return (t(hi) - t(lo)) / (hi - lo)
 
-    out = {"bs": bs, "imgsz": imgsz, "max_gt": max_gt, "backend": jax.devices()[0].platform}
+    out = {"model": args.model, "bs": bs, "imgsz": imgsz, "max_gt": max_gt,
+           "backend": jax.devices()[0].platform}
 
     def rec(key, ms):
         out[key] = round(ms, 2)

@@ -53,7 +53,16 @@ def autopad(k, p=None, d: int = 1):
 
 
 def conv2d(x, w, *, stride=1, padding=0, groups=1, dilation=1):
-    """NHWC conv with HWIO kernel."""
+    """NHWC conv with HWIO kernel.
+
+    1x1/stride-1/ungrouped kernels take the dot (einsum) path: identical math
+    on the MXU, but under vmap with batched kernels (gathered MoE dispatch,
+    nn/moe/dispatch.py) einsum batches into one large GEMM while
+    conv_general_dilated lowers to a degenerate B*K-group conv (measured
+    36 ms -> ~4 ms on the v0.1-L P3 MoE block, bs=16 @80x80x512)."""
+    if (w.shape[0] == w.shape[1] == 1 and groups == 1
+            and stride in (1, (1, 1)) and padding in (0, (0, 0))):
+        return jnp.einsum("bhwi,io->bhwo", x, w[0, 0].astype(x.dtype))
     s = (stride, stride) if isinstance(stride, int) else stride
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
     if isinstance(padding, int):
@@ -436,8 +445,13 @@ class AAttn(Module):
         # torch: view(B,N,heads,head_dim*3) then split -> per-head q,k,v blocks
         qkv = qkv.reshape(Bq, Nq, nh, 3, hd)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B,N,h,hd]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd**-0.5), k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        # Logits stay in the compute dtype so the [B*area, h, N', N'] matrix is
+        # never materialized in fp32 (HBM-bound: measured 3.56 ms -> 0.59 ms per
+        # block at v0.1-L layer-7 shapes, scripts/bench_aattn.py); the softmax
+        # itself still reduces in fp32 for stability. MXU accumulation is fp32
+        # regardless of the requested output dtype.
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * (hd**-0.5), k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         o = o.reshape(Bq, Nq, ahd)
         v = v.reshape(Bq, Nq, ahd)
@@ -568,8 +582,9 @@ class Attention(Module):
         N = H * W
         qkv = self.qkv(p["qkv"], x, ctx).reshape(B, N, self.num_heads, self.key_dim * 2 + self.head_dim)
         q, k, v = jnp.split(qkv, [self.key_dim, 2 * self.key_dim], axis=-1)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * self.scale, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        # bf16 logits + fp32 softmax reduction — see AAttn above for rationale.
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * self.scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H, W, C)
         vmap = v.reshape(B, H, W, C)
         o = o + self.pe(p["pe"], vmap, ctx)
@@ -865,10 +880,11 @@ class TorchMHA(Module):
         qh = heads(q @ w[:, :D] + b[:D])
         kh = heads(k @ w[:, D : 2 * D] + b[D : 2 * D])
         vh = heads(v @ w[:, 2 * D :] + b[2 * D :])
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qh * self.hd**-0.5, kh, preferred_element_type=jnp.float32)
+        # bf16 logits + fp32 softmax reduction — see AAttn above for rationale.
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh * self.hd**-0.5, kh)
         if mask is not None:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn, -1).astype(vh.dtype)
+            attn = attn + mask.astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(vh.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh).transpose(0, 2, 1, 3).reshape(B, N, D)
         return self.out_proj(p["out_proj"], out, ctx)
 

@@ -64,10 +64,12 @@ def sdpa(q, k, v, scale, mask=None):
     """q,k,v: [..., N, hd] / [..., M, hd] -> [..., N, hd] (softmax attention).
     mask: optional [N, M] additive bias (-inf to block, e.g. the CDN group
     mask in RT-DETR denoising training)."""
-    attn = jnp.einsum("...nd,...md->...nm", q * scale, k, preferred_element_type=jnp.float32)
+    # Logits in the compute dtype (no fp32 materialization of [..., N, M] —
+    # HBM-bound under bf16, see nn/layers.py AAttn); softmax reduces in fp32.
+    attn = jnp.einsum("...nd,...md->...nm", q * scale, k)
     if mask is not None:
-        attn = attn + mask
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = attn + mask.astype(attn.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("...nm,...md->...nd", attn, v)
 
 
